@@ -1,0 +1,335 @@
+"""Whisper encoder/decoder in JAX (functional, pjit-friendly).
+
+Architecture parity with HF ``WhisperModel`` (the reference loads
+``openai/whisper-small`` and uses only its encoder at
+reference: av_net.py:22,78-81; the decoder here additionally powers the
+KV-cached beam-search path the north star requires, which the reference never
+had — it only argmaxes a linear head, reference: train.py:130-141).
+
+Structure (pre-LN transformer):
+- encoder: conv1(k3,s1) -> gelu -> conv2(k3,s2) -> gelu -> +sinusoid PE ->
+  N x [self-attn, mlp] -> final LN. Input [B, n_mels, 3000] -> [B, 1500, D].
+- decoder: token embed + learned PE -> N x [causal self-attn, cross-attn,
+  mlp] -> final LN -> logits via tied embedding.
+
+TPU notes: all shapes static; self-attention uses the Pallas flash kernel on
+TPU (``backend="pallas"``); weights live in fp32 and compute in bf16 with
+fp32 LayerNorm/softmax islands; the decoder exposes an explicit KV cache
+(pre-allocated [B, max_len, H, Dh] buffers updated with
+``lax.dynamic_update_slice``) so the whole beam loop stays inside one jit.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+
+from mocov2_whisper_flamingo_tpu.models import layers as L
+from mocov2_whisper_flamingo_tpu.ops.attention import multi_head_attention
+
+
+@dataclasses.dataclass(frozen=True)
+class WhisperConfig:
+    n_mels: int = 80
+    d_model: int = 768
+    encoder_layers: int = 12
+    decoder_layers: int = 12
+    n_heads: int = 12
+    d_ff: int = 3072
+    vocab_size: int = 51865
+    max_source_positions: int = 1500
+    max_target_positions: int = 448
+    activation: str = "gelu"
+
+    @property
+    def head_dim(self) -> int:
+        return self.d_model // self.n_heads
+
+
+# Official Whisper size table (HF config values).
+WHISPER_SIZES = {
+    "whisper-tiny": WhisperConfig(d_model=384, encoder_layers=4, decoder_layers=4, n_heads=6, d_ff=1536),
+    "whisper-base": WhisperConfig(d_model=512, encoder_layers=6, decoder_layers=6, n_heads=8, d_ff=2048),
+    "whisper-small": WhisperConfig(d_model=768, encoder_layers=12, decoder_layers=12, n_heads=12, d_ff=3072),
+    "whisper-medium": WhisperConfig(d_model=1024, encoder_layers=24, decoder_layers=24, n_heads=16, d_ff=4096),
+    "whisper-large-v2": WhisperConfig(d_model=1280, encoder_layers=32, decoder_layers=32, n_heads=20, d_ff=5120),
+}
+
+
+def config_for(name: str) -> WhisperConfig:
+    key = name.split("/")[-1]
+    if key not in WHISPER_SIZES:
+        raise ValueError(f"Unknown whisper size {name!r}; known: {sorted(WHISPER_SIZES)}")
+    return WHISPER_SIZES[key]
+
+
+# ---------------------------------------------------------------------------
+# Attention block (shared by encoder/decoder self/cross attention)
+# ---------------------------------------------------------------------------
+
+
+def _attn_init(key, d_model: int, k_bias: bool = False) -> L.Params:
+    kq, kk, kv, ko = jax.random.split(key, 4)
+    return {
+        "q": L.linear_init(kq, d_model, d_model, bias=True),
+        "k": L.linear_init(kk, d_model, d_model, bias=k_bias),
+        "v": L.linear_init(kv, d_model, d_model, bias=True),
+        "out": L.linear_init(ko, d_model, d_model, bias=True),
+    }
+
+
+def _split_heads(x: jnp.ndarray, n_heads: int) -> jnp.ndarray:
+    b, t, d = x.shape
+    return x.reshape(b, t, n_heads, d // n_heads)
+
+
+def _merge_heads(x: jnp.ndarray) -> jnp.ndarray:
+    b, t, h, dh = x.shape
+    return x.reshape(b, t, h * dh)
+
+
+def attention_block(
+    params: L.Params,
+    x: jnp.ndarray,
+    kv_source: jnp.ndarray | None = None,
+    kv_valid: jnp.ndarray | None = None,
+    n_heads: int = 12,
+    causal: bool = False,
+    cache: dict | None = None,
+    cache_index: jnp.ndarray | None = None,
+    precision: L.Precision = L.FP32,
+    backend: str = "xla",
+) -> tuple[jnp.ndarray, dict | None]:
+    """Multi-head attention with optional KV cache.
+
+    cache (decode only): {"k": [B, Tmax, H, Dh], "v": ...}. For self-attn the
+    new K/V are written at ``cache_index``; for cross-attn the cache holds the
+    precomputed encoder K/V and is used as-is.
+    """
+    src = x if kv_source is None else kv_source
+    q = _split_heads(L.linear(params["q"], x, precision), n_heads)
+
+    if cache is not None and kv_source is not None:
+        # Cross-attention with precomputed encoder K/V.
+        k, v = cache["k"], cache["v"]
+        new_cache = cache
+    else:
+        k = _split_heads(L.linear(params["k"], src, precision), n_heads)
+        v = _split_heads(L.linear(params["v"], src, precision), n_heads)
+        if cache is not None:
+            # Incremental decode: write new K/V into the static-size cache.
+            k = jax.lax.dynamic_update_slice(cache["k"], k.astype(cache["k"].dtype), (0, cache_index, 0, 0))
+            v = jax.lax.dynamic_update_slice(cache["v"], v.astype(cache["v"].dtype), (0, cache_index, 0, 0))
+            new_cache = {"k": k, "v": v}
+            # Only positions < cache_index + q_len are valid.
+            t_max = k.shape[1]
+            pos = jnp.arange(t_max)[None, :]
+            kv_valid = pos < (cache_index + x.shape[1])
+            kv_valid = jnp.broadcast_to(kv_valid, (x.shape[0], t_max))
+            causal = False  # masking handled by kv_valid for single-step decode
+        else:
+            new_cache = None
+
+    out = multi_head_attention(
+        q, k.astype(q.dtype), v.astype(q.dtype), kv_valid=kv_valid, causal=causal, backend=backend
+    )
+    return L.linear(params["out"], _merge_heads(out), precision), new_cache
+
+
+def _mlp_init(key, d_model: int, d_ff: int) -> L.Params:
+    k1, k2 = jax.random.split(key)
+    return {"fc1": L.linear_init(k1, d_model, d_ff), "fc2": L.linear_init(k2, d_ff, d_model)}
+
+
+def _mlp(params: L.Params, x: jnp.ndarray, precision: L.Precision) -> jnp.ndarray:
+    return L.linear(params["fc2"], L.gelu(L.linear(params["fc1"], x, precision)), precision)
+
+
+# ---------------------------------------------------------------------------
+# Encoder
+# ---------------------------------------------------------------------------
+
+
+class WhisperEncoder:
+    """Functional Whisper encoder: ``init(key)`` -> params, ``apply(params,
+    mel)`` -> [B, T/2, D] features."""
+
+    def __init__(self, config: WhisperConfig, precision: L.Precision = L.FP32,
+                 backend: str = "xla"):
+        self.config = config
+        self.precision = precision
+        self.backend = backend
+
+    def init(self, key: jax.Array) -> L.Params:
+        cfg = self.config
+        keys = jax.random.split(key, 2 + cfg.encoder_layers)
+        layers = []
+        for i in range(cfg.encoder_layers):
+            ka, km = jax.random.split(keys[2 + i])
+            layers.append({
+                "self_attn": _attn_init(ka, cfg.d_model),
+                "self_attn_ln": L.layer_norm_init(cfg.d_model),
+                "mlp": _mlp_init(km, cfg.d_model, cfg.d_ff),
+                "mlp_ln": L.layer_norm_init(cfg.d_model),
+            })
+        return {
+            "conv1": L.conv1d_init(keys[0], cfg.n_mels, cfg.d_model, 3),
+            "conv2": L.conv1d_init(keys[1], cfg.d_model, cfg.d_model, 3),
+            "pos_embed": jnp.asarray(
+                L.sinusoid_position_encoding(cfg.max_source_positions, cfg.d_model)),
+            "layers": layers,
+            "ln_post": L.layer_norm_init(cfg.d_model),
+        }
+
+    def apply(self, params: L.Params, mel: jnp.ndarray) -> jnp.ndarray:
+        """mel: [B, n_mels, T] (T = 3000 canonically) -> [B, T//2, D]."""
+        cfg, prec = self.config, self.precision
+        x = jnp.swapaxes(mel, -1, -2)  # [B, T, n_mels]
+        x = L.gelu(L.conv1d(params["conv1"], x, stride=1, padding=1, precision=prec))
+        x = L.gelu(L.conv1d(params["conv2"], x, stride=2, padding=1, precision=prec))
+        x = x + prec.cast(params["pos_embed"][: x.shape[1]])
+
+        def layer_fn(x, lp):
+            h, _ = attention_block(
+                lp["self_attn"], L.layer_norm(lp["self_attn_ln"], x),
+                n_heads=cfg.n_heads, precision=prec, backend=self.backend)
+            x = x + h
+            x = x + _mlp(lp["mlp"], L.layer_norm(lp["mlp_ln"], x), prec)
+            return x
+
+        # Python loop (not scan): layer count is small and static; lets XLA
+        # specialize each layer and overlap weight prefetch.
+        for lp in params["layers"]:
+            x = layer_fn(x, lp)
+        return L.layer_norm(params["ln_post"], x)
+
+
+# ---------------------------------------------------------------------------
+# Decoder
+# ---------------------------------------------------------------------------
+
+
+class WhisperDecoder:
+    """Functional Whisper decoder with explicit KV cache for jit-friendly
+    incremental decoding (greedy / beam)."""
+
+    def __init__(self, config: WhisperConfig, precision: L.Precision = L.FP32,
+                 backend: str = "xla"):
+        self.config = config
+        self.precision = precision
+        self.backend = backend
+
+    def init(self, key: jax.Array) -> L.Params:
+        cfg = self.config
+        keys = jax.random.split(key, 2 + cfg.decoder_layers)
+        layers = []
+        for i in range(cfg.decoder_layers):
+            ka, kc, km = jax.random.split(keys[2 + i], 3)
+            layers.append({
+                "self_attn": _attn_init(ka, cfg.d_model),
+                "self_attn_ln": L.layer_norm_init(cfg.d_model),
+                "cross_attn": _attn_init(kc, cfg.d_model),
+                "cross_attn_ln": L.layer_norm_init(cfg.d_model),
+                "mlp": _mlp_init(km, cfg.d_model, cfg.d_ff),
+                "mlp_ln": L.layer_norm_init(cfg.d_model),
+            })
+        return {
+            "embed_tokens": L.embedding_init(keys[0], cfg.vocab_size, cfg.d_model),
+            "pos_embed": jax.random.normal(
+                keys[1], (cfg.max_target_positions, cfg.d_model)) * 0.01,
+            "layers": layers,
+            "ln_post": L.layer_norm_init(cfg.d_model),
+        }
+
+    # -- full-sequence (teacher forcing / training) --------------------------
+
+    def apply(
+        self,
+        params: L.Params,
+        tokens: jnp.ndarray,
+        encoder_out: jnp.ndarray,
+        encoder_valid: jnp.ndarray | None = None,
+    ) -> jnp.ndarray:
+        """tokens: [B, T] -> logits [B, T, V] (causal, no cache)."""
+        cfg, prec = self.config, self.precision
+        x = L.embed(params["embed_tokens"], tokens)
+        x = x + params["pos_embed"][: tokens.shape[1]]
+        x = prec.cast(x)
+        enc = prec.cast(encoder_out)
+        for lp in params["layers"]:
+            h, _ = attention_block(
+                lp["self_attn"], L.layer_norm(lp["self_attn_ln"], x),
+                n_heads=cfg.n_heads, causal=True, precision=prec, backend=self.backend)
+            x = x + h
+            h, _ = attention_block(
+                lp["cross_attn"], L.layer_norm(lp["cross_attn_ln"], x),
+                kv_source=enc, kv_valid=encoder_valid,
+                n_heads=cfg.n_heads, precision=prec, backend=self.backend)
+            x = x + h
+            x = x + _mlp(lp["mlp"], L.layer_norm(lp["mlp_ln"], x), prec)
+        x = L.layer_norm(params["ln_post"], x)
+        logits = jnp.matmul(
+            x.astype(jnp.float32), params["embed_tokens"]["embedding"].T.astype(jnp.float32))
+        return logits
+
+    # -- incremental decode ---------------------------------------------------
+
+    def init_cache(self, params: L.Params, encoder_out: jnp.ndarray,
+                   max_len: int | None = None, dtype=jnp.float32) -> list[dict]:
+        """Pre-allocate per-layer self-attn caches and precompute cross-attn
+        K/V from the encoder output (computed once per utterance — the big
+        win of KV-cached decoding)."""
+        cfg = self.config
+        b = encoder_out.shape[0]
+        max_len = max_len or cfg.max_target_positions
+        prec = self.precision
+        caches = []
+        enc = prec.cast(encoder_out)
+        for lp in params["layers"]:
+            ck = _split_heads(L.linear(lp["cross_attn"]["k"], enc, prec), cfg.n_heads)
+            cv = _split_heads(L.linear(lp["cross_attn"]["v"], enc, prec), cfg.n_heads)
+            caches.append({
+                "self": {
+                    "k": jnp.zeros((b, max_len, cfg.n_heads, cfg.head_dim), dtype),
+                    "v": jnp.zeros((b, max_len, cfg.n_heads, cfg.head_dim), dtype),
+                },
+                "cross": {"k": ck.astype(dtype), "v": cv.astype(dtype)},
+            })
+        return caches
+
+    def decode_step(
+        self,
+        params: L.Params,
+        tokens: jnp.ndarray,
+        cache: list[dict],
+        index: jnp.ndarray,
+        encoder_valid: jnp.ndarray | None = None,
+    ) -> tuple[jnp.ndarray, list[dict]]:
+        """One decode step. tokens: [B, 1] current token ids; index: scalar
+        int32 position. Returns (logits [B, V], updated cache)."""
+        cfg, prec = self.config, self.precision
+        x = L.embed(params["embed_tokens"], tokens)
+        x = x + jax.lax.dynamic_slice_in_dim(params["pos_embed"], index, 1, axis=0)
+        x = prec.cast(x)
+        new_caches = []
+        for lp, layer_cache in zip(params["layers"], cache):
+            h, new_self = attention_block(
+                lp["self_attn"], L.layer_norm(lp["self_attn_ln"], x),
+                n_heads=cfg.n_heads, cache=layer_cache["self"], cache_index=index,
+                precision=prec, backend="xla")  # single-query step: XLA path
+            x = x + h
+            h, _ = attention_block(
+                lp["cross_attn"], L.layer_norm(lp["cross_attn_ln"], x),
+                kv_source=x,  # ignored; cross cache supplies K/V
+                kv_valid=encoder_valid, n_heads=cfg.n_heads,
+                cache=layer_cache["cross"], precision=prec, backend="xla")
+            x = x + h
+            x = x + _mlp(lp["mlp"], L.layer_norm(lp["mlp_ln"], x), prec)
+            new_caches.append({"self": new_self, "cross": layer_cache["cross"]})
+        x = L.layer_norm(params["ln_post"], x)
+        logits = jnp.matmul(
+            x.astype(jnp.float32), params["embed_tokens"]["embedding"].T.astype(jnp.float32))
+        return logits[:, 0], new_caches
