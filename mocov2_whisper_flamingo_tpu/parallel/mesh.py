@@ -1,0 +1,129 @@
+"""Device mesh + sharding rules.
+
+Mesh axes:
+- ``data``: pure data parallelism (the reference's only strategy — DDP,
+  reference: train.py:319). Batches shard on their leading axis; gradients
+  are reduced by an XLA psum over ICI (the NCCL AllReduce analog,
+  SURVEY.md §2.2).
+- ``model``: tensor parallelism for the big frozen encoders and the vocab
+  projection — attention heads and MLP hidden dims split column-wise then
+  row-wise (Megatron layout), so each layer needs a single all-reduce that
+  XLA inserts from the shardings.
+
+Rules are expressed as (regex on the param path) -> PartitionSpec and
+resolved once per tree; unmatched leaves replicate. The same rules drive both
+``jax.device_put`` placement and pjit in_shardings.
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Any
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+DATA_AXIS = "data"
+MODEL_AXIS = "model"
+
+
+def make_mesh(n_data: int = -1, n_model: int = 1, devices=None) -> Mesh:
+    """Build a ("data", "model") mesh. ``n_data=-1`` consumes all remaining
+    devices. Lays the model axis innermost so TP collectives ride the
+    fastest ICI links."""
+    devices = list(devices if devices is not None else jax.devices())
+    n = len(devices)
+    if n_data == -1:
+        if n % n_model:
+            raise ValueError(f"{n} devices not divisible by model={n_model}")
+        n_data = n // n_model
+    if n_data * n_model != n:
+        devices = devices[: n_data * n_model]
+    grid = np.array(devices).reshape(n_data, n_model)
+    return Mesh(grid, (DATA_AXIS, MODEL_AXIS))
+
+
+# (path regex) -> PartitionSpec. Paths look like
+# "whisper_encoder/layers/3/mlp/fc1/kernel".
+DEFAULT_PARAM_RULES: tuple[tuple[str, P], ...] = (
+    # Megatron-style TP for transformer blocks: column-parallel then
+    # row-parallel.
+    (r".*(self_attn|cross_attn|attn)/(q|k|v)/kernel$", P(None, MODEL_AXIS)),
+    (r".*(self_attn|cross_attn|attn)/(q|k|v)/bias$", P(MODEL_AXIS)),
+    (r".*(self_attn|cross_attn|attn)/out/kernel$", P(MODEL_AXIS, None)),
+    (r".*(mlp/fc1|ff1)/kernel$", P(None, MODEL_AXIS)),
+    (r".*(mlp/fc1|ff1)/bias$", P(MODEL_AXIS)),
+    (r".*(mlp/fc2|ff2)/kernel$", P(MODEL_AXIS, None)),
+    # Vocab-dim sharding for the big embedding / output head.
+    (r".*embed_tokens/embedding$", P(MODEL_AXIS, None)),
+    (r".*decoder/kernel$", P(None, MODEL_AXIS)),
+    (r".*decoder/bias$", P(MODEL_AXIS)),
+)
+
+
+def _path_str(path) -> str:
+    parts = []
+    for p in path:
+        if hasattr(p, "key"):
+            parts.append(str(p.key))
+        elif hasattr(p, "idx"):
+            parts.append(str(p.idx))
+        else:
+            parts.append(str(p))
+    return "/".join(parts)
+
+
+def param_sharding(mesh: Mesh, params: Any,
+                   rules: tuple[tuple[str, P], ...] = DEFAULT_PARAM_RULES) -> Any:
+    """NamedSharding tree for a param pytree: first matching rule wins,
+    otherwise replicated. Rules whose sharded dim doesn't divide evenly fall
+    back to replication (e.g. head counts not divisible by the model axis)."""
+    n_model = mesh.shape[MODEL_AXIS]
+
+    def resolve(path, leaf):
+        name = _path_str(path)
+        for pattern, spec in rules:
+            if re.match(pattern, name):
+                # Validate divisibility of every sharded dim.
+                ok = True
+                for dim, axis in enumerate(spec):
+                    if axis is None:
+                        continue
+                    size = n_model if axis == MODEL_AXIS else mesh.shape[axis]
+                    if dim >= leaf.ndim or leaf.shape[dim] % size != 0:
+                        ok = False
+                        break
+                if ok:
+                    return NamedSharding(mesh, spec)
+                break
+        return NamedSharding(mesh, P())
+
+    return jax.tree_util.tree_map_with_path(resolve, params)
+
+
+def replicated(mesh: Mesh, tree: Any) -> Any:
+    return jax.tree.map(lambda _: NamedSharding(mesh, P()), tree)
+
+
+def batch_sharding(mesh: Mesh, tree: Any) -> Any:
+    """Shard the leading (batch) axis of every array leaf over the data
+    axis; scalars/strings replicate."""
+
+    def resolve(leaf):
+        ndim = getattr(leaf, "ndim", 0)
+        if ndim >= 1 and leaf.shape[0] % mesh.shape[DATA_AXIS] == 0:
+            return NamedSharding(mesh, P(DATA_AXIS))
+        return NamedSharding(mesh, P())
+
+    return jax.tree.map(resolve, tree)
+
+
+def shard_params(mesh: Mesh, params: Any, rules=DEFAULT_PARAM_RULES) -> Any:
+    shardings = param_sharding(mesh, params, rules)
+    return jax.tree.map(jax.device_put, params, shardings)
+
+
+def shard_batch(mesh: Mesh, batch: Any) -> Any:
+    shardings = batch_sharding(mesh, batch)
+    return jax.tree.map(jax.device_put, batch, shardings)

@@ -1,0 +1,103 @@
+"""The AVSR task: joint CTC + label-smoothed CE loss, greedy decode, WER.
+
+Capability parity with the reference LightningModule (reference:
+train.py:33-246):
+- ``loss = ctc + ce`` with CTC over log-softmaxed logits using the
+  downsampled audio lengths (train.py:157-165) and CE over logits/targets
+  trimmed to their common length (train.py:103-128);
+- greedy per-frame argmax decode + tokenizer batch_decode with special
+  tokens skipped (train.py:130-141);
+- corpus WER (train.py:195).
+
+Quirk Q3 (SURVEY.md §7): the reference pads targets with 0 (not -100,
+data_module.py:134-137) while CE ignores only -100, and CTC blank=0 collides
+with a real token id. ``pad_to_ignore=True`` (default False for parity)
+remaps trailing pad positions to -100 before the CE.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+
+from mocov2_whisper_flamingo_tpu.ops.losses import ctc_loss, label_smoothed_cross_entropy
+
+
+@dataclasses.dataclass
+class AVSRTask:
+    net: Any
+    label_smoothing: float = 0.1
+    ctc_blank: int = 0
+    pad_to_ignore: bool = False
+
+    # -- losses -----------------------------------------------------------------
+
+    def compute_losses(self, logits: jnp.ndarray, batch: dict) -> dict:
+        """logits: [B, T', V]; batch carries target_ids [B, L],
+        target_lengths [B], audio_lengths [B]."""
+        targets = batch["target_ids"]
+        target_lengths = jnp.reshape(batch["target_lengths"], (-1,))
+        input_lengths = jnp.minimum(
+            jnp.reshape(batch["audio_lengths"], (-1,)), logits.shape[1])
+
+        ctc = ctc_loss(
+            logits, targets, input_lengths, target_lengths, blank_id=self.ctc_blank)
+
+        t_min = min(logits.shape[1], targets.shape[1])
+        ce_targets = targets[:, :t_min]
+        if self.pad_to_ignore:
+            pos = jnp.arange(t_min)[None, :]
+            ce_targets = jnp.where(pos < target_lengths[:, None], ce_targets, -100)
+        ce = label_smoothed_cross_entropy(
+            logits[:, :t_min], ce_targets, label_smoothing=self.label_smoothing)
+        return {"ctc_loss": ctc, "ce_loss": ce, "loss": ctc + ce}
+
+    def loss_fn(self, params: dict, batch: dict, rng: jax.Array | None = None,
+                train: bool = True) -> tuple[jnp.ndarray, dict]:
+        input_data = (batch["audio"], batch["audio_mask"], batch["video"],
+                      batch["video_mask"], batch["video_lengths"])
+        logits = self.net.forward(params, input_data, train=train, rng=rng)
+        losses = self.compute_losses(logits, batch)
+        return losses["loss"], losses
+
+    # -- steps -------------------------------------------------------------------
+
+    def make_train_step(self, optimizer):
+        """Returns a pure jittable train step: (params, opt_state, batch, rng)
+        -> (params, opt_state, metrics). Grad reduction across the data mesh
+        axis is emitted by XLA from the shardings (the NCCL AllReduce analog,
+        SURVEY.md §2.2)."""
+
+        def step(params, opt_state, batch, rng):
+            (loss, losses), grads = jax.value_and_grad(self.loss_fn, has_aux=True)(
+                params, batch, rng, True)
+            updates, opt_state = optimizer.update(grads, opt_state, params)
+            params = jax.tree.map(
+                lambda p, u: p + u.astype(p.dtype) if u is not None else p,
+                params, updates)
+            return params, opt_state, losses
+
+        return step
+
+    def make_eval_step(self):
+        def step(params, batch):
+            input_data = (batch["audio"], batch["audio_mask"], batch["video"],
+                          batch["video_mask"], batch["video_lengths"])
+            logits = self.net.forward(params, input_data, train=False)
+            losses = self.compute_losses(logits, batch)
+            preds = jnp.argmax(logits, axis=-1)
+            return losses, preds
+
+        return step
+
+    # -- decode ---------------------------------------------------------------
+
+    @staticmethod
+    def decode_predictions(pred_ids, tokenizer) -> list[str]:
+        """Greedy argmax ids -> text (reference: train.py:130-141)."""
+        import numpy as np
+
+        return tokenizer.batch_decode(np.asarray(pred_ids), skip_special_tokens=True)

@@ -1,0 +1,285 @@
+"""SPMD training loop.
+
+Replaces the reference's Lightning Trainer stack (reference: train.py:249-336)
+with a compact jit-compiled loop:
+
+- data parallel (and optional tensor parallel) over a ``Mesh`` via sharding
+  annotations — XLA emits the gradient psum over ICI (vs Lightning
+  DDPStrategy/NCCL, reference: train.py:319);
+- bf16 compute with fp32 params (vs "16-mixed" AMP, train.py:316);
+- AdamW + OneCycle per-step schedule, clip 1.0, accumulation x4
+  (train.py:218-246,321-322);
+- scalar streams with the reference's names — train/{ctc_loss,ce_loss,loss},
+  val/{ctc_loss,ce_loss,loss,wer}, test/wer, lr, and per-layer fusion gate
+  values train_attn_gate_i / train_ff_gate_i (train.py:167-200,214;
+  train.ipynb cell 2; config output.log_gates);
+- orbax checkpointing: top-k on val_loss + save_last
+  (train.py:286-293), resume via ``restore()``;
+- early stopping on val_loss with the reference's patience (train.py:294-299);
+- hyperparameter snapshot (hparams.json, mirroring Lightning's
+  save_hyperparameters dump, train.py:52-62).
+"""
+
+from __future__ import annotations
+
+import json
+import logging
+import os
+import shutil
+import time
+from typing import Any, Iterable
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from mocov2_whisper_flamingo_tpu.parallel import (
+    batch_sharding, make_mesh, param_sharding)
+from mocov2_whisper_flamingo_tpu.training.optim import make_optimizer, trainable_mask_for
+from mocov2_whisper_flamingo_tpu.training.task import AVSRTask
+from mocov2_whisper_flamingo_tpu.utils.tb_writer import SummaryWriter
+from mocov2_whisper_flamingo_tpu.utils.wer import wer as corpus_wer
+
+logger = logging.getLogger(__name__)
+
+
+class EarlyStopping:
+    """min-mode monitor with patience (reference: train.py:294-299)."""
+
+    def __init__(self, patience: int = 10, mode: str = "min"):
+        self.patience = patience
+        self.sign = 1.0 if mode == "min" else -1.0
+        self.best = float("inf")
+        self.count = 0
+
+    def update(self, value: float) -> bool:
+        """Returns True when training should stop."""
+        if self.sign * value < self.best:
+            self.best = self.sign * value
+            self.count = 0
+            return False
+        self.count += 1
+        return self.count > self.patience
+
+
+class CheckpointManager:
+    """Top-k (on a monitored metric) + last checkpointing via orbax
+    (reference: train.py:286-293 keeps top-3 on val_loss and save_last)."""
+
+    def __init__(self, directory: str, save_top_k: int = 3, mode: str = "min"):
+        import orbax.checkpoint as ocp
+
+        self.dir = os.path.abspath(directory)
+        os.makedirs(self.dir, exist_ok=True)
+        self.save_top_k = save_top_k
+        self.sign = 1.0 if mode == "min" else -1.0
+        self.kept: list[tuple[float, str]] = []
+        self._ckpt = ocp.StandardCheckpointer()
+
+    def save(self, state: dict, step: int, metric: float | None = None) -> str:
+        path = os.path.join(self.dir, f"step_{step}")
+        if os.path.exists(path):
+            shutil.rmtree(path)
+        self._ckpt.save(path, state)
+        self._ckpt.wait_until_finished()
+        # refresh "last" pointer
+        with open(os.path.join(self.dir, "last.json"), "w") as f:
+            json.dump({"path": path, "step": step}, f)
+        if metric is not None:
+            self.kept.append((self.sign * metric, path))
+            self.kept.sort(key=lambda kv: kv[0])
+            while len(self.kept) > self.save_top_k:
+                _, worst = self.kept.pop()
+                last = json.load(open(os.path.join(self.dir, "last.json")))
+                if worst != last["path"] and os.path.exists(worst):
+                    shutil.rmtree(worst)
+        return path
+
+    def restore(self, target: dict, path: str | None = None) -> dict:
+        if path is None:
+            last = json.load(open(os.path.join(self.dir, "last.json")))
+            path = last["path"]
+        return self._ckpt.restore(path, target=target)
+
+
+class Trainer:
+    """Compact trainer: ``fit(datamodule)`` then ``test(datamodule)``.
+
+    The datamodule must provide ``train_dataloader()/val_dataloader()/
+    test_dataloader()`` yielding dict batches with the reference collate keys
+    (reference: data_module.py:142-152).
+    """
+
+    def __init__(self, config, net, tokenizer, total_steps: int | None = None):
+        self.config = config
+        self.net = net
+        self.tokenizer = tokenizer
+        self.task = AVSRTask(
+            net,
+            label_smoothing=config["training"]["label_smoothing"],
+            pad_to_ignore=bool(config["training"].get("pad_to_ignore", False)),
+        )
+        self.mesh = make_mesh(
+            n_data=config["mesh"].get("data", -1),
+            n_model=config["mesh"].get("model", 1),
+        )
+        self.total_steps = total_steps
+        self.log_every = config["output"].get("log_every_n_steps", 100)
+        self.log_gates = bool(config["output"].get("log_gates", True))
+
+        out_cfg = config["output"]
+        os.makedirs(out_cfg["log_dir"], exist_ok=True)
+        run_dir = self._next_version_dir(os.path.join(out_cfg["log_dir"], "avsr_logs"))
+        self.writer = SummaryWriter(run_dir)
+        self._dump_hparams(run_dir)
+        self.ckpt = CheckpointManager(
+            out_cfg["checkpoint_dir"], out_cfg.get("save_top_k", 3),
+            out_cfg.get("monitor_mode", "min"))
+        self.early_stopping = EarlyStopping(
+            patience=config["training"].get("early_stopping_patience", 10),
+            mode=out_cfg.get("monitor_mode", "min"))
+
+        self._step_fn = None
+        self.global_step = 0
+
+    @staticmethod
+    def _next_version_dir(base: str) -> str:
+        os.makedirs(base, exist_ok=True)
+        existing = [int(d.split("_")[1]) for d in os.listdir(base)
+                    if d.startswith("version_") and d.split("_")[1].isdigit()]
+        version = max(existing, default=-1) + 1
+        path = os.path.join(base, f"version_{version}")
+        os.makedirs(path, exist_ok=True)
+        return path
+
+    def _dump_hparams(self, run_dir: str) -> None:
+        flat = {}
+        for section, params in self.config.items():
+            if isinstance(params, dict):
+                for k, v in params.items():
+                    if isinstance(v, (int, float, str, bool, type(None))):
+                        flat[f"{section}_{k}"] = v
+            elif isinstance(params, (int, float, str, bool)):
+                flat[section] = params
+        with open(os.path.join(run_dir, "hparams.json"), "w") as f:
+            json.dump(flat, f, indent=2, default=str)
+
+    # -- setup --------------------------------------------------------------------
+
+    def setup(self, params: dict, total_steps: int):
+        """Shard params over the mesh, build optimizer + jitted train step."""
+        self.param_shardings = param_sharding(self.mesh, params)
+        params = jax.tree.map(jax.device_put, params, self.param_shardings)
+
+        mask = trainable_mask_for(self.net, params)
+        accum = int(self.config["training"].get("accumulate_grad_batches", 1) or 1)
+        self.optimizer, self.schedule = make_optimizer(
+            self.config["training"], max(total_steps // accum, 1), mask)
+        opt_state = self.optimizer.init(params)
+
+        step = self.task.make_train_step(self.optimizer)
+        self._step_fn = jax.jit(step, donate_argnums=(0, 1))
+        self._eval_fn = jax.jit(self.task.make_eval_step())
+        return params, opt_state
+
+    def _put_batch(self, batch: dict) -> dict:
+        arrays = {k: v for k, v in batch.items() if k != "target_text"}
+        shardings = batch_sharding(self.mesh, arrays)
+        placed = jax.tree.map(
+            lambda x, s: jax.device_put(jnp.asarray(x), s), arrays, shardings)
+        placed["target_text"] = batch.get("target_text", [])
+        return placed
+
+    # -- loops ---------------------------------------------------------------------
+
+    def fit(self, datamodule, params: dict, max_epochs: int | None = None,
+            max_steps: int | None = None) -> dict:
+        train_loader = datamodule.train_dataloader()
+        epochs = max_epochs or self.config["training"]["epochs"]
+        steps_per_epoch = getattr(train_loader, "__len__", lambda: 100)()
+        total = max_steps or epochs * max(steps_per_epoch, 1)
+
+        params, opt_state = self.setup(params, total)
+        rng = jax.random.PRNGKey(self.config["training"].get("seed", 0))
+
+        for epoch in range(epochs):
+            if hasattr(train_loader, "set_epoch"):
+                train_loader.set_epoch(epoch)
+            t_epoch = time.time()
+            for batch in train_loader:
+                rng, sub = jax.random.split(rng)
+                placed = self._put_batch(batch)
+                placed.pop("target_text", None)
+                params, opt_state, losses = self._step_fn(params, opt_state, placed, sub)
+                self.global_step += 1
+                if max_steps and self.global_step >= max_steps:
+                    break
+                if self.global_step % self.log_every == 0:
+                    self._log_train(params, losses)
+            logger.info("epoch %d done in %.1fs (step %d)",
+                        epoch, time.time() - t_epoch, self.global_step)
+            self._log_train(params, losses)
+
+            val_metrics = self.validate(datamodule, params)
+            for name, value in val_metrics.items():
+                self.writer.add_scalar(f"val/{name}", value, self.global_step)
+            self.writer.flush()
+
+            self.ckpt.save(
+                {"params": params, "step": self.global_step},
+                self.global_step, metric=val_metrics["loss"])
+            if self.early_stopping.update(val_metrics["loss"]):
+                logger.info("early stopping at epoch %d", epoch)
+                break
+            if max_steps and self.global_step >= max_steps:
+                break
+        return params
+
+    def _log_train(self, params, losses) -> None:
+        for name in ("ctc_loss", "ce_loss", "loss"):
+            self.writer.add_scalar(f"train/{name}", float(losses[name]), self.global_step)
+        accum = int(self.config["training"].get("accumulate_grad_batches", 1) or 1)
+        self.writer.add_scalar(
+            "lr", float(self.schedule(self.global_step // accum)), self.global_step)
+        if self.log_gates:
+            for i, layer in enumerate(params["fusion"]["layers"]):
+                self.writer.add_scalar(
+                    f"train_attn_gate_{i}", float(np.tanh(layer["attn_gate"])), self.global_step)
+                self.writer.add_scalar(
+                    f"train_ff_gate_{i}", float(np.tanh(layer["ff_gate"])), self.global_step)
+        self.writer.flush()
+
+    def validate(self, datamodule, params: dict) -> dict:
+        if self._eval_fn is None:
+            self._eval_fn = jax.jit(self.task.make_eval_step())
+        totals: dict[str, float] = {}
+        refs: list[str] = []
+        hyps: list[str] = []
+        n = 0
+        for batch in datamodule.val_dataloader():
+            placed = self._put_batch(batch)
+            texts = placed.pop("target_text", [])
+            losses, preds = self._eval_fn(params, placed)
+            for k, v in losses.items():
+                totals[k] = totals.get(k, 0.0) + float(v)
+            hyps.extend(self.task.decode_predictions(preds, self.tokenizer))
+            refs.extend(texts)
+            n += 1
+        metrics = {k: v / max(n, 1) for k, v in totals.items()}
+        metrics["wer"] = corpus_wer(refs, hyps) if refs else 1.0
+        return metrics
+
+    def test(self, datamodule, params: dict) -> dict:
+        if self._eval_fn is None:
+            self._eval_fn = jax.jit(self.task.make_eval_step())
+        refs, hyps = [], []
+        for batch in datamodule.test_dataloader():
+            placed = self._put_batch(batch)
+            texts = placed.pop("target_text", [])
+            _, preds = self._eval_fn(params, placed)
+            hyps.extend(self.task.decode_predictions(preds, self.tokenizer))
+            refs.extend(texts)
+        metrics = {"wer": corpus_wer(refs, hyps) if refs else 1.0}
+        self.writer.add_scalar("test/wer", metrics["wer"], self.global_step)
+        self.writer.flush()
+        return metrics

@@ -1,0 +1,133 @@
+"""Tokenizer loading.
+
+The reference tokenizes with the HF Whisper tokenizer, optionally from the
+local ``TW_tokenizer/`` directory that extends the whisper-small vocab with
+1,607 Vietnamese tokens (reference: datamodule/data_module.py:171-174,
+av_dataset.py:164-172, TW_tokenizer/added_tokens.json).
+
+``load_tokenizer`` loads from a local directory (offline-capable — the
+tokenizer is pure Python + JSON assets, no weights). For environments with
+no tokenizer assets at all, ``ByteTokenizer`` is a self-contained fallback
+with the same encode/batch_decode surface, so the data pipeline, training
+loop, and decode paths run everywhere (and tests don't need external files).
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Iterable, Sequence
+
+
+class ByteTokenizer:
+    """UTF-8 byte-level tokenizer with Whisper-like special-token layout:
+    id = byte + n_special, specials at the front. Deterministic, reversible,
+    dependency-free."""
+
+    SPECIALS = ("<|endoftext|>", "<|startoftranscript|>", "<|vi|>", "<|transcribe|>",
+                "<|notimestamps|>", "<|pad|>")
+
+    def __init__(self):
+        self.n_special = len(self.SPECIALS)
+        self.eos_token_id = 0
+        self.bos_token_id = 1
+        self.pad_token_id = 5
+        self.vocab_size = 256 + self.n_special
+
+    def __len__(self) -> int:
+        return self.vocab_size
+
+    @property
+    def prefix_token_ids(self) -> list[int]:
+        # <|startoftranscript|> <|vi|> <|transcribe|> <|notimestamps|>
+        return [1, 2, 3, 4]
+
+    def encode(self, text: str, max_length: int | None = None,
+               truncation: bool = True, add_special_tokens: bool = True) -> list[int]:
+        ids = [b + self.n_special for b in text.encode("utf-8")]
+        if add_special_tokens:
+            ids = self.prefix_token_ids + ids + [self.eos_token_id]
+        if max_length is not None and truncation and len(ids) > max_length:
+            ids = ids[:max_length]
+        return ids
+
+    def __call__(self, text, max_length: int | None = None, truncation: bool = True,
+                 padding: bool = False, **_):
+        ids = self.encode(text, max_length=max_length, truncation=truncation)
+
+        class _Enc:
+            pass
+
+        enc = _Enc()
+        enc.input_ids = ids
+        return enc
+
+    def decode(self, ids: Sequence[int], skip_special_tokens: bool = True) -> str:
+        raw = bytearray()
+        for i in ids:
+            i = int(i)
+            if i < self.n_special:
+                if not skip_special_tokens:
+                    raw.extend(self.SPECIALS[i].encode())
+                continue
+            if i - self.n_special < 256:
+                raw.append(i - self.n_special)
+        return raw.decode("utf-8", errors="ignore")
+
+    def batch_decode(self, batch: Iterable[Sequence[int]],
+                     skip_special_tokens: bool = True) -> list[str]:
+        return [self.decode(ids, skip_special_tokens) for ids in batch]
+
+
+class WhisperTokenizerWrapper:
+    """Thin adapter around HF's WhisperTokenizer exposing the bits the
+    framework uses (encode, batch_decode, special ids, language/task prefix)."""
+
+    def __init__(self, tok, language: str = "vietnamese", task: str = "transcribe"):
+        self._tok = tok
+        self.language = language
+        self.task = task
+        self.eos_token_id = tok.eos_token_id
+        self.bos_token_id = tok.bos_token_id
+        self.pad_token_id = tok.pad_token_id if tok.pad_token_id is not None else tok.eos_token_id
+        self.vocab_size = len(tok)
+
+    def __len__(self) -> int:
+        return self.vocab_size
+
+    @property
+    def prefix_token_ids(self) -> list[int]:
+        try:
+            return list(self._tok.prefix_tokens)
+        except Exception:
+            return [self.bos_token_id]
+
+    def encode(self, text: str, max_length: int | None = 448,
+               truncation: bool = True, add_special_tokens: bool = True) -> list[int]:
+        return self._tok(text, max_length=max_length, truncation=truncation,
+                         add_special_tokens=add_special_tokens).input_ids
+
+    def __call__(self, *args, **kwargs):
+        return self._tok(*args, **kwargs)
+
+    def decode(self, ids, skip_special_tokens: bool = True) -> str:
+        return self._tok.decode(ids, skip_special_tokens=skip_special_tokens)
+
+    def batch_decode(self, batch, skip_special_tokens: bool = True) -> list[str]:
+        return self._tok.batch_decode(batch, skip_special_tokens=skip_special_tokens)
+
+
+def load_tokenizer(path_or_name: str | None, language: str = "vietnamese",
+                   task: str = "transcribe"):
+    """Load the extended Whisper tokenizer from a local directory (e.g. a
+    TW_tokenizer checkout); fall back to ByteTokenizer when unavailable
+    (offline environments with no assets)."""
+    if path_or_name and os.path.isdir(path_or_name):
+        try:
+            from transformers import WhisperTokenizer
+
+            tok = WhisperTokenizer.from_pretrained(
+                path_or_name, language=language, task=task)
+            return WhisperTokenizerWrapper(tok, language, task)
+        except Exception:
+            pass
+    return ByteTokenizer()
