@@ -1,0 +1,184 @@
+"""DataModule: datasets + samplers + loader + collate.
+
+API parity with the reference LightningDataModule (reference:
+datamodule/data_module.py:154-274): ``DataModule(config)`` with
+``setup(stage)`` / ``train_dataloader()`` / ``val_dataloader()`` /
+``test_dataloader()``, batches keyed exactly like the reference collate
+(data_module.py:142-152). Differences by design:
+
+- loaders are plain Python iterables backed by a thread-pool prefetcher
+  (no torch DataLoader; ``num_workers`` maps to prefetch threads);
+- multi-host sharding uses ``ShardedSampler`` over jax process index/count
+  (each host feeds its local devices; device-level sharding happens in the
+  trainer via NamedSharding) instead of torch's DistributedSampler;
+- the tokenizer is the extended Whisper tokenizer when a local directory is
+  configured (``data.updated_tokenizer_dir``, reference:
+  data_module.py:171-174), else a self-contained byte tokenizer.
+"""
+
+from __future__ import annotations
+
+import logging
+from concurrent.futures import ThreadPoolExecutor
+from typing import Iterator
+
+import numpy as np
+
+from mocov2_whisper_flamingo_tpu.datamodule.av_dataset import AVDataset
+from mocov2_whisper_flamingo_tpu.datamodule.samplers import (
+    ByFrameCountSampler, RandomSamplerWrapper, ShardedSampler)
+from mocov2_whisper_flamingo_tpu.datamodule.transforms import AudioTransform, VideoTransform
+from mocov2_whisper_flamingo_tpu.utils.tokenizer import load_tokenizer
+
+logger = logging.getLogger(__name__)
+
+
+def collate_fn(batch: list[dict]) -> dict:
+    """Pad target_ids to the batch max **with 0** — conscious replication of
+    the reference quirk Q3 (data_module.py:134-137 pads with 0 while CE
+    ignores only -100); stack all modality tensors; keep raw texts."""
+    max_target_len = max(item["target_ids"].shape[0] for item in batch)
+    padded = []
+    for item in batch:
+        ids = item["target_ids"]
+        if ids.shape[0] < max_target_len:
+            ids = np.concatenate(
+                [ids, np.zeros(max_target_len - ids.shape[0], dtype=ids.dtype)])
+        padded.append(ids)
+
+    def _stack(key):
+        if batch[0].get(key) is None:
+            return None
+        return np.stack([item[key] for item in batch])
+
+    return {
+        "video": _stack("video"),
+        "video_mask": _stack("video_mask"),
+        "audio": _stack("audio"),
+        "audio_mask": _stack("audio_mask"),
+        "target_ids": np.stack(padded),
+        "target_text": [item["target_text"] for item in batch],
+        "target_lengths": _stack("target_lengths"),
+        "audio_lengths": _stack("audio_lengths"),
+        "video_lengths": _stack("video_lengths"),
+    }
+
+
+class DataLoader:
+    """Batch-sampler-driven loader with thread-pool sample fetch."""
+
+    def __init__(self, dataset, batch_sampler, collate=collate_fn, num_workers: int = 0):
+        self.dataset = dataset
+        self.batch_sampler = batch_sampler
+        self.collate = collate
+        self.num_workers = num_workers
+
+    def __len__(self) -> int:
+        return len(self.batch_sampler)
+
+    def set_epoch(self, epoch: int) -> None:
+        if hasattr(self.batch_sampler, "set_epoch"):
+            self.batch_sampler.set_epoch(epoch)
+
+    def __iter__(self) -> Iterator[dict]:
+        if self.num_workers > 0:
+            with ThreadPoolExecutor(max_workers=self.num_workers) as pool:
+                for indices in self.batch_sampler:
+                    samples = list(pool.map(self.dataset.__getitem__, indices))
+                    yield self.collate(samples)
+        else:
+            for indices in self.batch_sampler:
+                yield self.collate([self.dataset[i] for i in indices])
+
+
+class DataModule:
+    def __init__(self, config):
+        self.config = config
+        data = config["data"]
+        self.root_dir = data["root_dir"]
+        self.batch_size = data["batch_size"]
+        self.val_batch_size = data["val_batch_size"]
+        self.test_batch_size = data["test_batch_size"]
+        self.num_workers = data["num_workers"]
+        self.max_frames = data["max_frames"]
+        self.max_frames_val = data["max_frames_val"]
+        self.rate_ratio = data["rate_ratio"]
+        self.modality = data["modality"]
+        self.seed = config["training"].get("seed", 0) if "training" in config else 0
+
+        noise_file = config["augmentation"]["audio"]["train"].get("noise_file")
+        self._noise_file = noise_file
+        self.tokenizer = load_tokenizer(
+            data.get("updated_tokenizer_dir"),
+            language=config["whisper"].get("language", "vietnamese"),
+            task=config["whisper"].get("task", "transcribe"))
+        logger.info("DataModule tokenizer: %s (vocab %d)",
+                    type(self.tokenizer).__name__, len(self.tokenizer))
+
+        self.train_dataset = self.val_dataset = self.test_dataset = None
+
+    @property
+    def vocab_size(self) -> int:
+        return len(self.tokenizer)
+
+    def _make_dataset(self, split: str, subset: str, max_frames: int) -> AVDataset:
+        video_cfg = self.config["augmentation"]["video"].get(
+            "train" if subset == "train" else "val", {})
+        resize = video_cfg.get("resize", 64)
+        return AVDataset(
+            root_dir=self.root_dir,
+            split=split,
+            modality=self.modality,
+            audio_transform=AudioTransform(subset, noise_file=self._noise_file),
+            video_transform=VideoTransform(subset, resize=resize),
+            rate_ratio=self.rate_ratio,
+            max_frames=max_frames,
+            tokenizer=self.tokenizer,
+            seed=self.seed,
+        )
+
+    def setup(self, stage: str | None = None) -> None:
+        if stage in ("fit", None):
+            self.train_dataset = self._make_dataset("train", "train", self.max_frames)
+            logger.info("train dataset: %d samples", len(self.train_dataset))
+            self.val_dataset = self._make_dataset("val", "val", self.max_frames_val)
+            logger.info("val dataset: %d samples", len(self.val_dataset))
+        if stage in ("test", None):
+            self.test_dataset = self._make_dataset("test", "test", self.max_frames_val)
+            logger.info("test dataset: %d samples", len(self.test_dataset))
+
+    def _get_sampler(self, dataset, batch_size: int, shuffle: bool = True):
+        base = ByFrameCountSampler(
+            dataset,
+            max_frames_per_gpu=self.max_frames * batch_size,
+            shuffle=shuffle,
+            seed=self.seed,
+            max_frames=self.max_frames,
+        )
+        import jax
+
+        if jax.process_count() > 1:
+            return ShardedSampler(base, jax.process_count(), jax.process_index(),
+                                  shuffle=shuffle, seed=self.seed)
+        return RandomSamplerWrapper(base, seed=self.seed) if shuffle else base
+
+    def train_dataloader(self) -> DataLoader:
+        if self.train_dataset is None:
+            self.setup("fit")
+        return DataLoader(self.train_dataset,
+                          self._get_sampler(self.train_dataset, self.batch_size, True),
+                          num_workers=self.num_workers)
+
+    def val_dataloader(self) -> DataLoader:
+        if self.val_dataset is None:
+            self.setup("fit")
+        return DataLoader(self.val_dataset,
+                          self._get_sampler(self.val_dataset, self.val_batch_size, False),
+                          num_workers=self.num_workers)
+
+    def test_dataloader(self) -> DataLoader:
+        if self.test_dataset is None:
+            self.setup("test")
+        return DataLoader(self.test_dataset,
+                          self._get_sampler(self.test_dataset, self.test_batch_size, False),
+                          num_workers=self.num_workers)

@@ -1,0 +1,130 @@
+"""Length-bucketed batch sampling + per-host sharding.
+
+Capability parity with the reference samplers (reference:
+datamodule/data_module.py:18-120, duplicated in datamodule/samplers.py):
+
+- ``ByFrameCountSampler``: probes the real frame count of every clip once
+  (capped at max_frames), orders indices by (shuffled permutation, size)
+  descending via lexsort, and packs batches under a token budget of
+  ``max_frames * batch_size`` with fairseq ``batch_by_size`` semantics —
+  here served by the native C++ packer.
+- ``ShardedSampler``: the TPU-native replacement for the Catalyst-style
+  ``DistributedSamplerWrapper`` (reference: data_module.py:84-106). In SPMD
+  each *host* feeds its local devices, so this shards the batch list across
+  hosts (pad-to-even by wrapping, seeded shuffle, ``set_epoch``), rather than
+  wrapping torch's DistributedSampler machinery.
+- ``RandomSamplerWrapper``: shuffles the batch order for the single-host
+  case (reference: data_module.py:108-120).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from mocov2_whisper_flamingo_tpu.datamodule.native import batch_by_size
+
+
+class ByFrameCountSampler:
+    def __init__(self, dataset, max_frames_per_gpu: int, shuffle: bool = True,
+                 seed: int = 0, max_frames: int = 300):
+        self.dataset = dataset
+        self.max_frames_per_gpu = max_frames_per_gpu
+        self.max_frames = max_frames
+        self.shuffle = shuffle
+        self.seed = seed
+        self.epoch = 0
+        # One startup probe per clip (the reference does a serial FFmpeg
+        # probe per item, data_module.py:28-32; npy headers make this cheap).
+        self.sizes = np.array(
+            [min(dataset.probe_num_frames(i), max_frames) for i in range(len(dataset))],
+            dtype=np.int64)
+        self.num_batches = len(self._make_batches())
+
+    def _get_indices(self) -> np.ndarray:
+        """Lexsort by (permutation, size), reversed — groups similar lengths
+        while the shuffled primary key varies batch composition per epoch
+        (reference: data_module.py:40-51)."""
+        if self.shuffle:
+            rng = np.random.default_rng(self.seed + self.epoch)
+            order = rng.permutation(len(self.dataset))
+        else:
+            order = np.arange(len(self.dataset))
+        return np.lexsort((order, self.sizes))[::-1]
+
+    def _make_batches(self) -> list[np.ndarray]:
+        if len(self.dataset) == 0:
+            return []
+        return batch_by_size(self._get_indices(), self.sizes, self.max_frames_per_gpu)
+
+    def __len__(self) -> int:
+        return self.num_batches
+
+    def __iter__(self):
+        return iter(self._make_batches())
+
+    def set_epoch(self, epoch: int) -> None:
+        self.epoch = epoch
+
+
+class ShardedSampler:
+    """Shard a batch sampler's output across hosts: pad the batch list (by
+    wrapping) so every host gets the same count, optionally shuffle batch
+    order with a (seed + epoch) generator."""
+
+    def __init__(self, sampler, num_replicas: int, rank: int, shuffle: bool = True,
+                 seed: int = 0):
+        if not 0 <= rank < num_replicas:
+            raise ValueError(f"rank {rank} out of range for {num_replicas} replicas")
+        self.sampler = sampler
+        self.num_replicas = num_replicas
+        self.rank = rank
+        self.shuffle = shuffle
+        self.seed = seed
+        self.epoch = 0
+
+    def _sharded(self) -> list:
+        batches = list(self.sampler)
+        if not batches:
+            return []
+        if self.shuffle:
+            rng = np.random.default_rng(self.seed + self.epoch)
+            batches = [batches[i] for i in rng.permutation(len(batches))]
+        # pad to a multiple of num_replicas by wrapping from the front
+        remainder = len(batches) % self.num_replicas
+        if remainder:
+            batches = batches + batches[: self.num_replicas - remainder]
+        return batches[self.rank :: self.num_replicas]
+
+    def __len__(self) -> int:
+        n = len(self.sampler)
+        return (n + self.num_replicas - 1) // self.num_replicas
+
+    def __iter__(self):
+        return iter(self._sharded())
+
+    def set_epoch(self, epoch: int) -> None:
+        self.epoch = epoch
+        if hasattr(self.sampler, "set_epoch"):
+            self.sampler.set_epoch(epoch)
+
+
+class RandomSamplerWrapper:
+    """Shuffle the order of a batch sampler's batches (single host)."""
+
+    def __init__(self, sampler, seed: int = 0):
+        self.sampler = sampler
+        self.seed = seed
+        self.epoch = 0
+
+    def __len__(self) -> int:
+        return len(self.sampler)
+
+    def __iter__(self):
+        batches = list(self.sampler)
+        rng = np.random.default_rng(self.seed + self.epoch)
+        return iter([batches[i] for i in rng.permutation(len(batches))])
+
+    def set_epoch(self, epoch: int) -> None:
+        self.epoch = epoch
+        if hasattr(self.sampler, "set_epoch"):
+            self.sampler.set_epoch(epoch)
