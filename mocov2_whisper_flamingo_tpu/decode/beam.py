@@ -1,0 +1,136 @@
+"""KV-cached beam search under jit.
+
+Hard part #2 from SURVEY.md §7: the whole search is compiled — static
+[B, K, L] shapes, beams flattened into the batch for the decoder step,
+per-beam KV caches gathered with ``take_along_axis`` after each expansion,
+EOS masking instead of early Python exits, and a ``lax.while_loop`` that
+stops early once every beam is finished (data-dependent trip count is fine
+inside while_loop).
+
+Design notes (TPU):
+- the decode step runs on [B*K] rows so the MXU sees one batched matmul per
+  projection rather than K small ones;
+- the cross-attention K/V cache is computed once per utterance and gathered
+  (not recomputed) on beam reshuffles;
+- scores use the standard log-sum trick with finished-beam freezing: a done
+  beam only proposes EOS at zero incremental cost, so its score is stable
+  and comparable under the final length normalization.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+
+NEG_INF = -1e30
+
+
+@dataclasses.dataclass
+class BeamResult:
+    sequences: jnp.ndarray  # [B, K, L] token ids, best beam first
+    scores: jnp.ndarray     # [B, K] length-normalized log probs
+
+
+def _gather_beams(tree, beam_idx: jnp.ndarray, b: int, k: int):
+    """Reorder the leading [B*K] axis of every leaf by per-batch beam index
+    [B, K]."""
+
+    def gather(leaf):
+        shaped = leaf.reshape(b, k, *leaf.shape[1:])
+        idx = beam_idx.reshape(b, k, *([1] * (leaf.ndim - 1)))
+        idx = jnp.broadcast_to(idx, (b, k, *leaf.shape[1:]))
+        return jnp.take_along_axis(shaped, idx, axis=1).reshape(b * k, *leaf.shape[1:])
+
+    return jax.tree.map(gather, tree)
+
+
+def beam_search(
+    decoder,
+    params: dict,
+    encoder_out: jnp.ndarray,
+    prefix_ids,
+    beam_size: int = 5,
+    max_len: int = 224,
+    eos_id: int = 0,
+    length_penalty: float = 1.0,
+    encoder_valid: jnp.ndarray | None = None,
+) -> BeamResult:
+    """Batched beam search. Returns sequences sorted best-first per example."""
+    b = encoder_out.shape[0]
+    k = beam_size
+    prefix = jnp.asarray(prefix_ids, dtype=jnp.int32)
+    n_prefix = int(prefix.shape[0])
+    v = decoder.config.vocab_size
+
+    # Expand encoder state to [B*K, ...] once; cross K/V computed inside
+    # init_cache on the expanded batch (per-utterance work is shared by
+    # construction since rows are identical).
+    enc = jnp.repeat(encoder_out, k, axis=0)
+    enc_valid = jnp.repeat(encoder_valid, k, axis=0) if encoder_valid is not None else None
+    cache = decoder.init_cache(params, enc, max_len=max_len)
+
+    tokens = jnp.full((b, k, max_len), eos_id, dtype=jnp.int32)
+    tokens = tokens.at[:, :, :n_prefix].set(prefix[None, None, :])
+    # Beam 0 active, others at -inf so the first expansion draws K distinct
+    # continuations of the single prefix.
+    scores = jnp.tile(jnp.array([0.0] + [NEG_INF] * (k - 1))[None], (b, 1))
+    done = jnp.zeros((b, k), bool)
+
+    # Teacher-force the prefix through the cache (all beams identical here).
+    def prefix_step(carry, i):
+        cache = carry
+        cur = jnp.broadcast_to(prefix[i], (b * k, 1)).astype(jnp.int32)
+        _, cache = decoder.decode_step(params, cur, cache, i, encoder_valid=enc_valid)
+        return cache, None
+
+    if n_prefix > 1:
+        cache, _ = jax.lax.scan(prefix_step, cache, jnp.arange(n_prefix - 1))
+
+    def cond(state):
+        i, tokens, scores, done, cache = state
+        return (i < max_len - 1) & ~jnp.all(done)
+
+    def body(state):
+        i, tokens, scores, done, cache = state
+        cur = jnp.take_along_axis(
+            tokens.reshape(b * k, max_len), jnp.full((b * k, 1), i), axis=1)
+        logits, cache = decoder.decode_step(params, cur, cache, i,
+                                            encoder_valid=enc_valid)
+        logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)  # [B*K, V]
+        logp = logp.reshape(b, k, v)
+
+        # Finished beams: only EOS, at zero cost (score frozen).
+        eos_only = jnp.full((v,), NEG_INF).at[eos_id].set(0.0)
+        logp = jnp.where(done[..., None], eos_only[None, None, :], logp)
+
+        total = scores[..., None] + logp  # [B, K, V]
+        flat = total.reshape(b, k * v)
+        top_scores, top_idx = jax.lax.top_k(flat, k)  # [B, K]
+        beam_idx = top_idx // v
+        token_idx = (top_idx % v).astype(jnp.int32)
+
+        tokens = jnp.take_along_axis(tokens, beam_idx[..., None], axis=1)
+        done = jnp.take_along_axis(done, beam_idx, axis=1)
+        cache = _gather_beams(cache, beam_idx, b, k)
+
+        token_idx = jnp.where(done, eos_id, token_idx)
+        tokens = jax.lax.dynamic_update_slice(
+            tokens, token_idx[..., None], (0, 0, i + 1))
+        done = done | (token_idx == eos_id)
+        return (i + 1, tokens, top_scores, done, cache)
+
+    state = (jnp.int32(n_prefix - 1), tokens, scores, done, cache)
+    _, tokens, scores, done, _ = jax.lax.while_loop(cond, body, state)
+
+    # Length-normalized scores (Whisper-style avg log prob): count generated
+    # tokens (exclude the prefix; include the terminating EOS position).
+    gen_mask = (tokens != eos_id)
+    gen_len = jnp.maximum(jnp.sum(gen_mask, axis=-1) - n_prefix + 1, 1)
+    norm_scores = scores / jnp.power(gen_len.astype(jnp.float32), length_penalty)
+
+    order = jnp.argsort(-norm_scores, axis=-1)
+    tokens = jnp.take_along_axis(tokens, order[..., None], axis=1)
+    norm_scores = jnp.take_along_axis(norm_scores, order, axis=1)
+    return BeamResult(sequences=tokens, scores=norm_scores)

@@ -1,0 +1,148 @@
+"""Decode tests: greedy vs step-by-step reference, beam-1 == greedy,
+beam improves cumulative log prob, EOS handling, jit-compilability,
+streaming persistence."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from mocov2_whisper_flamingo_tpu.decode import greedy_decode, beam_search, StreamingDecoder
+from mocov2_whisper_flamingo_tpu.models.whisper import WhisperConfig, WhisperDecoder, WhisperEncoder
+
+CFG = WhisperConfig(
+    n_mels=80, d_model=48, encoder_layers=1, decoder_layers=2, n_heads=4,
+    d_ff=96, vocab_size=50, max_source_positions=16, max_target_positions=32,
+)
+EOS = 3
+PREFIX = [1, 2]
+
+
+@pytest.fixture(scope="module")
+def setup():
+    dec = WhisperDecoder(CFG)
+    params = dec.init(jax.random.PRNGKey(0))
+    rng = np.random.default_rng(0)
+    enc_out = jnp.asarray(rng.standard_normal((2, 16, 48)).astype(np.float32))
+    return dec, params, enc_out
+
+
+def _manual_greedy(dec, params, enc_out, max_len):
+    """Step-by-step greedy loop in python as the oracle."""
+    b = enc_out.shape[0]
+    cache = dec.init_cache(params, enc_out, max_len=max_len)
+    tokens = np.tile(np.array(PREFIX + [EOS] * (max_len - len(PREFIX)), np.int32), (b, 1))
+    done = np.zeros(b, bool)
+    for i in range(max_len - 1):
+        cur = jnp.asarray(tokens[:, i : i + 1])
+        logits, cache = dec.decode_step(params, cur, cache, jnp.int32(i))
+        nxt = np.asarray(jnp.argmax(logits, axis=-1))
+        if i + 1 < len(PREFIX):
+            nxt = tokens[:, i + 1]
+        nxt = np.where(done, EOS, nxt)
+        done = done | ((nxt == EOS) & (i + 1 >= len(PREFIX)))
+        tokens[:, i + 1] = nxt
+        if done.all():
+            break
+    return tokens
+
+
+def test_greedy_matches_manual(setup):
+    dec, params, enc_out = setup
+    max_len = 12
+    ours = np.asarray(greedy_decode(dec, params, enc_out, PREFIX, max_len, EOS))
+    ref = _manual_greedy(dec, params, enc_out, max_len)
+    np.testing.assert_array_equal(ours, ref)
+
+
+def test_greedy_jit(setup):
+    dec, params, enc_out = setup
+    f = jax.jit(lambda p, e: greedy_decode(dec, p, e, PREFIX, 12, EOS))
+    out = np.asarray(f(params, enc_out))
+    ref = np.asarray(greedy_decode(dec, params, enc_out, PREFIX, 12, EOS))
+    np.testing.assert_array_equal(out, ref)
+
+
+def test_beam1_equals_greedy(setup):
+    dec, params, enc_out = setup
+    greedy = np.asarray(greedy_decode(dec, params, enc_out, PREFIX, 12, EOS))
+    beam = beam_search(dec, params, enc_out, PREFIX, beam_size=1, max_len=12, eos_id=EOS)
+    np.testing.assert_array_equal(np.asarray(beam.sequences)[:, 0], greedy)
+
+
+def _sequence_logprob(dec, params, enc_out_row, tokens):
+    """Cumulative log prob of the generated part of a sequence."""
+    seq = [t for t in tokens]
+    cache = dec.init_cache(params, enc_out_row[None], max_len=32)
+    total = 0.0
+    for i in range(len(seq) - 1):
+        logits, cache = dec.decode_step(
+            params, jnp.asarray([[seq[i]]]), cache, jnp.int32(i))
+        logp = jax.nn.log_softmax(logits[0])
+        if i + 1 >= len(PREFIX):
+            total += float(logp[seq[i + 1]])
+        if seq[i + 1] == EOS and i + 1 >= len(PREFIX):
+            break
+    return total
+
+
+def test_beam_score_at_least_greedy(setup):
+    """Beam-5's best hypothesis must have cumulative log prob >= greedy's."""
+    dec, params, enc_out = setup
+    greedy = np.asarray(greedy_decode(dec, params, enc_out, PREFIX, 12, EOS))
+    beam = beam_search(dec, params, enc_out, PREFIX, beam_size=5, max_len=12,
+                       eos_id=EOS, length_penalty=0.0)
+    for b in range(enc_out.shape[0]):
+        def trim(seq):
+            out = list(seq[: len(PREFIX)])
+            for t in seq[len(PREFIX):]:
+                out.append(int(t))
+                if t == EOS:
+                    break
+            return out
+
+        g_lp = _sequence_logprob(dec, params, enc_out[b], trim(greedy[b]))
+        b_lp = _sequence_logprob(dec, params, enc_out[b],
+                                 trim(np.asarray(beam.sequences)[b, 0]))
+        assert b_lp >= g_lp - 1e-4, (b_lp, g_lp)
+
+
+def test_beam_jit_and_shapes(setup):
+    dec, params, enc_out = setup
+    f = jax.jit(lambda p, e: beam_search(dec, p, e, PREFIX, beam_size=3,
+                                         max_len=10, eos_id=EOS).sequences)
+    out = np.asarray(f(params, enc_out))
+    assert out.shape == (2, 3, 10)
+    # all beams start with the forced prefix
+    assert (out[:, :, : len(PREFIX)] == np.array(PREFIX)).all()
+
+
+def test_beam_scores_sorted(setup):
+    dec, params, enc_out = setup
+    res = beam_search(dec, params, enc_out, PREFIX, beam_size=4, max_len=10, eos_id=EOS)
+    scores = np.asarray(res.scores)
+    assert (np.diff(scores, axis=-1) <= 1e-6).all()
+
+
+def test_streaming_two_chunks(setup):
+    """Decoding chunk A then chunk B continues the transcript (self cache
+    persists) and differs from decoding chunk A twice."""
+    dec, params, enc_out = setup
+    rng = np.random.default_rng(1)
+    chunk_a = enc_out[:1]
+    chunk_b = jnp.asarray(rng.standard_normal((1, 16, 48)).astype(np.float32))
+
+    sd = StreamingDecoder(dec, params, PREFIX, max_len=32, eos_id=EOS,
+                          max_tokens_per_chunk=5)
+    out_a = sd.process_chunk(chunk_a)
+    n_after_a = len(sd.tokens)
+    out_b = sd.process_chunk(chunk_b)
+    assert len(sd.tokens) == n_after_a + len(out_b)
+    assert sd.tokens[: len(PREFIX)] == PREFIX
+
+    sd2 = StreamingDecoder(dec, params, PREFIX, max_len=32, eos_id=EOS,
+                           max_tokens_per_chunk=5)
+    out_a2 = sd2.process_chunk(chunk_a)
+    assert out_a2 == out_a  # deterministic
+    sd2.reset()
+    assert sd2.tokens == PREFIX
