@@ -57,8 +57,12 @@ class AVNet:
         enable_logging: bool = False,
         whisper_name: str = "whisper-small",
         precision: L.Precision = L.FP32,
-        backend: str = "xla",
+        backend: str | None = None,
     ):
+        if backend is None:
+            from mocov2_whisper_flamingo_tpu.ops.attention import default_attention_backend
+
+            backend = default_attention_backend()  # pallas on TPU, xla elsewhere
         d_model, n_heads, n_layers, pe_max_len, fc_hidden_size, dropout = modelargs
         self.modal = modal
         self.moco_file = MoCofile

@@ -1,0 +1,94 @@
+"""Flash attention kernel vs the XLA reference path.
+
+On CPU the Pallas kernel runs in interpreter mode (pltpu.force_tpu_interpret_mode);
+on real TPU (AVSR_TEST_TPU=1) it compiles natively.
+"""
+
+import os
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+from jax.experimental.pallas import tpu as pltpu
+
+from mocov2_whisper_flamingo_tpu.ops.attention import _xla_attention
+from mocov2_whisper_flamingo_tpu.ops.flash_attention import flash_attention
+
+ON_TPU = bool(os.environ.get("AVSR_TEST_TPU"))
+
+
+def _run(fn, *args, **kwargs):
+    if ON_TPU:
+        return fn(*args, **kwargs)
+    with pltpu.force_tpu_interpret_mode():
+        return fn(*args, **kwargs)
+
+
+def _qkv(rng, b=2, tq=24, tk=40, h=2, d=16):
+    q = rng.standard_normal((b, tq, h, d)).astype(np.float32)
+    k = rng.standard_normal((b, tk, h, d)).astype(np.float32)
+    v = rng.standard_normal((b, tk, h, d)).astype(np.float32)
+    return jnp.asarray(q), jnp.asarray(k), jnp.asarray(v)
+
+
+@pytest.mark.parametrize("shape", [(2, 24, 40, 2, 16), (1, 16, 16, 4, 32)])
+def test_matches_xla_unmasked(rng, shape):
+    b, tq, tk, h, d = shape
+    q, k, v = _qkv(rng, b, tq, tk, h, d)
+    ours = _run(flash_attention, q, k, v, block_q=8, block_k=8)
+    ref = _xla_attention(q, k, v, None, d ** -0.5, False)
+    np.testing.assert_allclose(np.asarray(ours), np.asarray(ref), atol=2e-5, rtol=1e-4)
+
+
+def test_key_padding_mask(rng):
+    q, k, v = _qkv(rng)
+    valid = np.ones((2, 40), bool)
+    valid[0, 25:] = False
+    valid[1, 10:] = False
+    ours = _run(flash_attention, q, k, v, kv_valid=jnp.asarray(valid),
+                block_q=8, block_k=8)
+    ref = _xla_attention(q, k, v, jnp.asarray(valid), 16 ** -0.5, False)
+    np.testing.assert_allclose(np.asarray(ours), np.asarray(ref), atol=2e-5, rtol=1e-4)
+
+
+def test_causal(rng):
+    q, k, v = _qkv(rng, tq=16, tk=16)
+    ours = _run(flash_attention, q, k, v, causal=True, block_q=8, block_k=8)
+    ref = _xla_attention(q, k, v, None, 16 ** -0.5, True)
+    np.testing.assert_allclose(np.asarray(ours), np.asarray(ref), atol=2e-5, rtol=1e-4)
+
+
+def test_unaligned_lengths(rng):
+    """T not a multiple of the block size exercises the padding path."""
+    q, k, v = _qkv(rng, tq=13, tk=27)
+    ours = _run(flash_attention, q, k, v, block_q=8, block_k=8)
+    ref = _xla_attention(q, k, v, None, 16 ** -0.5, False)
+    np.testing.assert_allclose(np.asarray(ours), np.asarray(ref), atol=2e-5, rtol=1e-4)
+
+
+def test_gradients_match_xla(rng):
+    q, k, v = _qkv(rng, b=1, tq=8, tk=8, h=2, d=16)
+    valid = jnp.asarray(np.array([[True] * 6 + [False] * 2]))
+
+    def loss_flash(q, k, v):
+        return jnp.sum(_run(flash_attention, q, k, v, kv_valid=valid,
+                            block_q=8, block_k=8) ** 2)
+
+    def loss_ref(q, k, v):
+        return jnp.sum(_xla_attention(q, k, v, valid, 16 ** -0.5, False) ** 2)
+
+    g_ours = jax.grad(loss_flash, argnums=(0, 1, 2))(q, k, v)
+    g_ref = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+    for a, b in zip(g_ours, g_ref):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4, rtol=1e-3)
+
+
+def test_bf16_inputs(rng):
+    q, k, v = _qkv(rng, b=1, tq=16, tk=16)
+    qb, kb, vb = (x.astype(jnp.bfloat16) for x in (q, k, v))
+    ours = _run(flash_attention, qb, kb, vb, block_q=8, block_k=8)
+    assert ours.dtype == jnp.bfloat16
+    ref = _xla_attention(q, k, v, None, 16 ** -0.5, False)
+    np.testing.assert_allclose(np.asarray(ours, dtype=np.float32), np.asarray(ref),
+                               atol=0.05, rtol=0.05)

@@ -1,0 +1,144 @@
+"""Tools tests (the reference's verify/export/monitor scripts had bit-rotted
+against its own APIs, SURVEY.md §2.1 — these are CI-enforced instead)."""
+
+import json
+import os
+
+import numpy as np
+import jax
+import pytest
+
+from mocov2_whisper_flamingo_tpu.models.av_net import AVNet
+from mocov2_whisper_flamingo_tpu.models.whisper import WhisperConfig, WhisperEncoder
+
+VOCAB = 64
+MODELARGS = (32, 4, 2, 3000, 128, 0.0)
+TINY = WhisperConfig(n_mels=80, d_model=32, encoder_layers=1, decoder_layers=1,
+                     n_heads=4, d_ff=64, vocab_size=VOCAB,
+                     max_source_positions=1500, max_target_positions=32)
+
+
+@pytest.fixture(scope="module")
+def net_params():
+    net = AVNet("audiovisual", None, 96, MODELARGS, VOCAB, backend="xla")
+    net.whisper_config = TINY
+    net.whisper_encoder = WhisperEncoder(TINY, net.precision, "xla")
+    params = net.init(jax.random.PRNGKey(0))
+    return net, params
+
+
+def test_verify_model_suite(net_params):
+    from mocov2_whisper_flamingo_tpu.tools import verify_model as vm
+
+    net, params = net_params
+    rng = np.random.default_rng(0)
+    stability = vm.test_model_stability(net, params, rng)
+    assert set(stability) == {"audiovisual", "audio", "video"}
+    assert all(r["finite"] for r in stability.values())
+
+    memory = vm.test_memory_usage(net, params, rng)
+    assert memory["grads_finite"]
+
+    shapes = vm.test_input_shapes(net, params, rng,
+                                  combos=((1, 500, 8), (2, 1000, 12)))
+    assert shapes[(1, 500, 8)] == (1, 8, VOCAB)
+    assert shapes[(2, 1000, 12)] == (2, 12, VOCAB)
+
+
+def test_export_roundtrip(net_params, tmp_path, rng):
+    import jax.numpy as jnp
+
+    from mocov2_whisper_flamingo_tpu.tools.export_model import export_forward, verify_export
+
+    net, params = net_params
+    batch = (
+        jnp.asarray(rng.standard_normal((1, 3000, 80)), jnp.float32),
+        jnp.ones((1, 3000), bool),
+        jnp.asarray(rng.standard_normal((1, 8, 3, 64, 64)), jnp.float32),
+        jnp.ones((1, 8), bool),
+        jnp.full((1,), 8, jnp.int32),
+    )
+    path = str(tmp_path / "model.stablehlo")
+    blob = export_forward(net, params, batch, path)
+    assert len(blob) > 1000
+    live = net.forward(params, batch)
+    assert verify_export(path, params, batch, reference_out=live)
+
+
+def test_monitor_scalars_and_plots(tmp_path):
+    from mocov2_whisper_flamingo_tpu.tools.monitor import load_scalars, plot_training_curves
+    from mocov2_whisper_flamingo_tpu.utils.tb_writer import SummaryWriter
+
+    run_dir = str(tmp_path / "run")
+    with SummaryWriter(run_dir) as w:
+        for step in range(5):
+            w.add_scalar("train/loss", 10.0 - step, step)
+            w.add_scalar("train_attn_gate_0", 0.01 * step, step)
+            w.add_scalar("val/wer", 1.0 - 0.1 * step, step)
+
+    scalars = load_scalars(run_dir)
+    assert len(scalars["train/loss"]) == 5
+    assert scalars["train/loss"][0][1] == 10.0
+
+    written = plot_training_curves(scalars, str(tmp_path / "plots"))
+    names = {os.path.basename(p) for p in written}
+    assert {"losses.png", "gates.png", "wer.png"} <= names
+    for p in written:
+        assert os.path.getsize(p) > 1000
+
+
+def test_monitor_prediction_analysis(tmp_path):
+    from mocov2_whisper_flamingo_tpu.tools.monitor import analyze_predictions, parse_results_file
+
+    results = tmp_path / "results.txt"
+    results.write_text(
+        "Pred: xin chao viet nam\nTarget: xin chao viet nam\n"
+        "Pred: toi la robot\nTarget: toi la nguoi\n")
+    pairs = parse_results_file(str(results))
+    assert len(pairs) == 2
+    report = analyze_predictions(pairs)
+    assert report["n"] == 2
+    assert 0 < report["corpus_wer"] < 1
+    assert report["worst_examples"][0]["pred"] == "toi la robot"
+
+
+def test_max_frame_count_scan(tmp_path):
+    from mocov2_whisper_flamingo_tpu.tools.max_frame_count import scan
+
+    rng = np.random.default_rng(0)
+    d = tmp_path / "vids"
+    d.mkdir()
+    for i, t in enumerate([10, 25, 17]):
+        np.save(d / f"clip{i}.npy", rng.integers(0, 255, (t, 8, 8, 3), dtype=np.uint8))
+    report = scan(str(tmp_path), workers=1)
+    assert report["n_videos"] == 3
+    assert report["max_frames"] == 25
+    assert report["max_file"].endswith("clip1.npy")
+
+
+def test_smoke_test_cli(tmp_path, monkeypatch):
+    """tools/smoke_test runs against a real on-disk dataset."""
+    import wave as wave_mod
+
+    rng = np.random.default_rng(0)
+    vdir = tmp_path / "train" / "train_video_seg12s" / "s"
+    tdir = tmp_path / "train" / "train_text_seg12s" / "s"
+    vdir.mkdir(parents=True)
+    tdir.mkdir(parents=True)
+    for i in range(2):
+        np.save(vdir / f"c{i}.npy", rng.integers(0, 255, (6, 32, 32, 3), dtype=np.uint8))
+        with wave_mod.open(str(vdir / f"c{i}.wav"), "wb") as w:
+            w.setnchannels(1)
+            w.setsampwidth(2)
+            w.setframerate(16000)
+            w.writeframes((np.sin(np.arange(8000) / 10) * 20000).astype("<i2").tobytes())
+        (tdir / f"c{i}.txt").write_text("hello")
+
+    import sys
+
+    from mocov2_whisper_flamingo_tpu.tools import smoke_test
+
+    monkeypatch.setattr(sys, "argv", [
+        "smoke_test", "--set", f"data.root_dir={tmp_path}",
+        "--set", "data.max_frames=8", "--num-batches", "1"])
+    smoke_test.main()  # must not raise
