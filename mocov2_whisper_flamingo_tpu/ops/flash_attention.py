@@ -104,15 +104,16 @@ def _flash_attention_fwd_impl(
     b, tq, h, d = q.shape
     tk = k.shape[1]
 
-    def _effective_block(block, t):
-        # Whole-axis blocks avoid the streaming-softmax rescale entirely and
-        # measure fastest on v5e up to a few thousand positions; fall back to
-        # tiling only when the axis is much longer than the requested block.
-        t8 = max(-(-t // 8) * 8, 8)
-        return t8 if t8 <= block * 2 else block
+    def _round128(t):
+        return max(-(-t // 128) * 128, 128)
 
-    block_q = _effective_block(block_q, tq)
-    block_k = _effective_block(block_k, tk)
+    # Keep blocks 128-multiples (Mosaic lowers non-multiple tiles an order of
+    # magnitude slower: T=400 blocks compiled 200s+ and ran 20x slow), and
+    # prefer a single whole-axis K block — it removes the streaming-softmax
+    # rescale and measured fastest on v5e up to a few thousand positions.
+    block_q = min(block_q, _round128(tq))
+    tk128 = _round128(tk)
+    block_k = tk128 if tk128 <= block_k * 2 else block_k
 
     # Mosaic tiles the last two dims, so fold heads into batch:
     # [B, T, H, D] -> [B*H, T, D]. XLA fuses the transpose with the
