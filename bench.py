@@ -1,15 +1,17 @@
-"""Headline benchmark: AVSR decode real-time factor (audio-sec/sec/chip).
+"""Headline benchmark: AVSR decode real-time factor at beam=5
+(audio-sec/sec/chip) — the BASELINE.json north-star metric.
 
-Measures the full AV inference path on the reference's configuration —
-whisper-small encoder + MoCo ResNet-50 frontend (random weights; identical
-FLOPs to pretrained) + gated cross-attn fusion + greedy argmax decode over
-the linear head, which IS the reference's decode (reference:
-train.py:130-141 — it has no beam search). Batch of 30 s clips at the
-reference's max_frames=400 video cap.
+Full AV inference path on the reference's configuration: whisper-small
+encoder + MoCo ResNet-50 frontend (random weights; identical FLOPs to
+pretrained) + gated cross-attn fusion (Pallas flash attention), bridged into
+the Whisper decoder for KV-cached beam-search decoding (beam=5). Batch of
+30 s clips at the reference's max_frames=400 video cap; decode budget 160
+tokens/clip (~5 tok/s of Vietnamese; random weights never emit EOS, so this
+measures the no-early-exit worst case).
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"} where
-vs_baseline is the fraction of the 50x-per-chip north-star target
-(BASELINE.md — the reference publishes no numbers of its own).
+Prints ONE JSON line {"metric", "value", "unit", "vs_baseline"};
+vs_baseline = fraction of the 50x-per-chip target (the reference publishes
+no numbers of its own — BASELINE.md).
 """
 
 from __future__ import annotations
@@ -19,21 +21,25 @@ import time
 
 import numpy as np
 
+B = 4
+T_VIDEO = 400          # reference max_frames (config.py:28)
+SECONDS_PER_CLIP = 30.0  # 3000 mel frames
+BEAM = 5
+MAX_TOKENS = 160
+
 
 def main() -> None:
     import jax
     import jax.numpy as jnp
 
     from mocov2_whisper_flamingo_tpu.models import layers as L
-    from mocov2_whisper_flamingo_tpu.models.av_net import AVNet
+    from mocov2_whisper_flamingo_tpu.models.av_whisper import AVWhisperNet
 
-    B = 4
-    T_VIDEO = 400  # reference max_frames (config.py:28)
-    SECONDS_PER_CLIP = 30.0  # 3000 mel frames = 30 s
-
-    net = AVNet(
-        "audiovisual", None, 96, (512, 8, 6, 3000, 2048, 0.1),
-        vocab_size=51865, whisper_name="whisper-small", precision=L.BF16,
+    net = AVWhisperNet(
+        modelargs=(512, 8, 6, 3000, 2048, 0.1),
+        vocab_size=51865,
+        whisper_name="whisper-small",
+        precision=L.BF16,
     )
     params = net.init(jax.random.PRNGKey(0))
 
@@ -45,16 +51,16 @@ def main() -> None:
         jnp.ones((B, T_VIDEO), bool),
         jnp.full((B,), T_VIDEO, jnp.int32),
     )
+    prefix = [50258, 50278, 50359, 50363]  # sot, vi, transcribe, notimestamps
 
     @jax.jit
     def decode(params, batch):
-        logits = net.forward(params, batch)
-        return jnp.argmax(logits, axis=-1)
+        return net.beam(params, batch, prefix, beam_size=BEAM,
+                        max_len=MAX_TOKENS, eos_id=50257).sequences
 
-    # Warmup/compile.
-    decode(params, batch).block_until_ready()
+    decode(params, batch).block_until_ready()  # compile
 
-    iters = 10
+    iters = 5
     t0 = time.perf_counter()
     for _ in range(iters):
         out = decode(params, batch)
@@ -63,7 +69,7 @@ def main() -> None:
 
     rtf = B * SECONDS_PER_CLIP / dt
     print(json.dumps({
-        "metric": "AVSR greedy decode real-time factor (audio-sec/sec/chip)",
+        "metric": "AVSR beam=5 decode real-time factor (audio-sec/sec/chip)",
         "value": round(rtf, 2),
         "unit": "x realtime",
         "vs_baseline": round(rtf / 50.0, 3),

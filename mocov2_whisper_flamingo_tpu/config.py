@@ -113,6 +113,12 @@ TRAIN_DEFAULTS = dict(
     accumulate_grad_batches=4,
     label_smoothing=0.1,
     seed=0,
+    # bias/LN/gate no-decay param groups (notebook-trainer recipe; the main
+    # reference trainer decays everything, so off by default for parity)
+    no_decay_groups=False,
+    # remap collate's 0-padding to -100 before the CE (fixes quirk Q3; off
+    # by default for parity with the reference numerics)
+    pad_to_ignore=False,
 )
 
 AUGMENTATION_DEFAULTS = dict(

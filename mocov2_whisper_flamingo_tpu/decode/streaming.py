@@ -76,3 +76,43 @@ class StreamingDecoder:
 
         self._self_cache = [layer["self"] for layer in cache]
         return new_tokens
+
+
+def transcribe_long_form(
+    encoder,
+    decoder,
+    encoder_params: dict,
+    decoder_params: dict,
+    audio,
+    prefix_ids,
+    eos_id: int = 0,
+    chunk_seconds: float = 30.0,
+    sample_rate: int = 16_000,
+    max_len: int = 448,
+    max_tokens_per_chunk: int = 64,
+    mel_fn=None,
+) -> list[int]:
+    """End-to-end long-form ASR: waveform of arbitrary length -> 30 s chunks
+    -> log-mel -> encoder -> streaming decode with a persistent KV cache
+    (BASELINE config 5). Returns all generated token ids (prefix excluded)."""
+    import jax
+    import jax.numpy as jnp
+
+    from mocov2_whisper_flamingo_tpu.ops.mel import whisper_log_mel
+
+    mel_fn = mel_fn or (lambda wav: whisper_log_mel(
+        wav, pad_to=int(chunk_seconds * sample_rate)))
+    chunk_samples = int(chunk_seconds * sample_rate)
+    audio = jnp.asarray(audio)
+    n_chunks = max(-(-audio.shape[-1] // chunk_samples), 1)
+
+    encode = jax.jit(encoder.apply)
+    stream = StreamingDecoder(decoder, decoder_params, prefix_ids,
+                              max_len=max_len, eos_id=eos_id,
+                              max_tokens_per_chunk=max_tokens_per_chunk)
+    out: list[int] = []
+    for i in range(n_chunks):
+        chunk = audio[..., i * chunk_samples : (i + 1) * chunk_samples]
+        features = encode(encoder_params, mel_fn(chunk)[None])
+        out.extend(stream.process_chunk(features))
+    return out

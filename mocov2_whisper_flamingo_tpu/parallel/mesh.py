@@ -28,6 +28,25 @@ DATA_AXIS = "data"
 MODEL_AXIS = "model"
 
 
+def initialize_distributed(coordinator_address: str | None = None,
+                           num_processes: int | None = None,
+                           process_id: int | None = None) -> None:
+    """Multi-host bring-up: ``jax.distributed.initialize`` (auto-detected on
+    TPU pods; explicit args for manual launches). The reference's analog is
+    Lightning's hidden NCCL process-group init inside DDPStrategy
+    (reference: train.py:319). No-op when already initialized or single-host.
+    """
+    import jax
+
+    try:
+        jax.distributed.initialize(
+            coordinator_address=coordinator_address,
+            num_processes=num_processes,
+            process_id=process_id)
+    except (RuntimeError, ValueError):
+        pass  # already initialized or single-process environment
+
+
 def make_mesh(n_data: int = -1, n_model: int = 1, devices=None) -> Mesh:
     """Build a ("data", "model") mesh. ``n_data=-1`` consumes all remaining
     devices. Lays the model axis innermost so TP collectives ride the

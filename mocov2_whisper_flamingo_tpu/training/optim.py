@@ -44,14 +44,31 @@ def one_cycle_lr(
     )
 
 
+def no_decay_mask(params: Any) -> Any:
+    """True for leaves that SHOULD receive weight decay. Biases, LayerNorm
+    scales/biases, and the scalar fusion gates are exempt — the no-decay
+    param-group split the reference's notebook trainer used
+    (reference: train.ipynb cell 2)."""
+
+    def keep_decay(path, leaf):
+        names = {str(getattr(p, "key", p)) for p in path}
+        if names & {"bias", "scale", "attn_gate", "ff_gate"}:
+            return False
+        return getattr(leaf, "ndim", 0) >= 2
+
+    return jax.tree_util.tree_map_with_path(keep_decay, params)
+
+
 def make_optimizer(
     training_config: Any,
     total_steps: int,
     trainable_mask: Any = None,
+    decay_mask: Any = None,
 ) -> tuple[optax.GradientTransformation, Callable]:
     """Build the full optax chain. ``trainable_mask`` is a pytree of bools
     (True = trainable) matching the param tree; frozen leaves receive zero
-    updates and no optimizer state."""
+    updates and no optimizer state. ``decay_mask`` (optional) restricts
+    weight decay to matmul-shaped weights (see ``no_decay_mask``)."""
     schedule = one_cycle_lr(
         max_lr=training_config["max_lr"],
         total_steps=total_steps,
@@ -65,6 +82,7 @@ def make_optimizer(
             b2=0.98,
             eps=1e-6,
             weight_decay=training_config.get("weight_decay", 0.01),
+            mask=decay_mask,
         ),
     )
     if trainable_mask is not None:

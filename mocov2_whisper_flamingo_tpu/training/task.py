@@ -65,15 +65,25 @@ class AVSRTask:
 
     # -- steps -------------------------------------------------------------------
 
-    def make_train_step(self, optimizer):
+    def make_train_step(self, optimizer, skip_nonfinite: bool = True):
         """Returns a pure jittable train step: (params, opt_state, batch, rng)
         -> (params, opt_state, metrics). Grad reduction across the data mesh
         axis is emitted by XLA from the shardings (the NCCL AllReduce analog,
-        SURVEY.md §2.2)."""
+        SURVEY.md §2.2).
+
+        ``skip_nonfinite``: failure detection in the update path — a step
+        whose loss is NaN/Inf applies zero updates instead of corrupting the
+        params (the reference only *observes* blow-ups via zero_infinity and
+        a print, train.py:88,117-121); ``losses["skipped"]`` reports it.
+        """
 
         def step(params, opt_state, batch, rng):
             (loss, losses), grads = jax.value_and_grad(self.loss_fn, has_aux=True)(
                 params, batch, rng, True)
+            if skip_nonfinite:
+                ok = jnp.isfinite(loss)
+                grads = jax.tree.map(lambda g: jnp.where(ok, g, 0.0), grads)
+                losses = dict(losses, skipped=(~ok).astype(jnp.float32))
             updates, opt_state = optimizer.update(grads, opt_state, params)
             params = jax.tree.map(
                 lambda p, u: p + u.astype(p.dtype) if u is not None else p,

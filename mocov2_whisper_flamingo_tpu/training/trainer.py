@@ -173,8 +173,17 @@ class Trainer:
 
         mask = trainable_mask_for(self.net, params)
         accum = int(self.config["training"].get("accumulate_grad_batches", 1) or 1)
+        # Optional no-decay param groups (bias/LN/gates exempt from weight
+        # decay — the reference's notebook-trainer recipe, train.ipynb cell 2;
+        # its main trainer decays everything, so default off for parity).
+        decay_mask = None
+        if self.config["training"].get("no_decay_groups"):
+            from mocov2_whisper_flamingo_tpu.training.optim import no_decay_mask
+
+            decay_mask = no_decay_mask
         self.optimizer, self.schedule = make_optimizer(
-            self.config["training"], max(total_steps // accum, 1), mask)
+            self.config["training"], max(total_steps // accum, 1), mask,
+            decay_mask=decay_mask)
         opt_state = self.optimizer.init(params)
 
         step = self.task.make_train_step(self.optimizer)
@@ -282,4 +291,12 @@ class Trainer:
         metrics = {"wer": corpus_wer(refs, hyps) if refs else 1.0}
         self.writer.add_scalar("test/wer", metrics["wer"], self.global_step)
         self.writer.flush()
+        if self.config["output"].get("save_predictions") and refs:
+            # Pred:/Target: dump in the format tools/monitor.py analyzes
+            # (reference: monitor.py:72-93, config output.save_predictions).
+            path = os.path.join(os.path.dirname(self.writer.path), "predictions.txt")
+            with open(path, "w", encoding="utf-8") as f:
+                for pred, ref in zip(hyps, refs):
+                    f.write(f"Pred: {pred}\nTarget: {ref}\n")
+            logger.info("wrote %d predictions to %s", len(refs), path)
         return metrics

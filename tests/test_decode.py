@@ -146,3 +146,31 @@ def test_streaming_two_chunks(setup):
     assert out_a2 == out_a  # deterministic
     sd2.reset()
     assert sd2.tokens == PREFIX
+
+
+def test_transcribe_long_form(setup, rng):
+    """70 s of audio -> 3 chunks -> continuous transcript through the
+    persistent-cache streaming path (BASELINE config 5 shape)."""
+    from mocov2_whisper_flamingo_tpu.decode.streaming import transcribe_long_form
+    from mocov2_whisper_flamingo_tpu.models.whisper import WhisperEncoder
+
+    dec, params, _ = setup
+    enc = WhisperEncoder(CFG)
+    enc_params = enc.init(jax.random.PRNGKey(1))
+
+    sr = 16000
+    audio = rng.standard_normal(int(2.2 * CFG.max_source_positions * 2 * 160)).astype(np.float32)
+
+    def mel_fn(wav):
+        # tiny config: produce [80, 2*max_source_positions] mels directly
+        t = CFG.max_source_positions * 2
+        m = jnp.zeros((80, t))
+        n = min(wav.shape[-1] // 160, t)
+        return m.at[:, :n].set(jnp.resize(wav[: n * 80].reshape(-1)[: 80 * n].reshape(80, n), (80, n)))
+
+    tokens = transcribe_long_form(
+        enc, dec, enc_params, params, audio, PREFIX, eos_id=EOS,
+        chunk_seconds=CFG.max_source_positions * 2 * 160 / sr,
+        max_len=32, max_tokens_per_chunk=4, mel_fn=mel_fn)
+    assert 0 < len(tokens) <= 12  # up to 4 tokens per chunk, 3 chunks
+    assert all(t != EOS for t in tokens)
