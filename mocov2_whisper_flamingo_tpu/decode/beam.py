@@ -35,13 +35,23 @@ class BeamResult:
 
 def _gather_beams(tree, beam_idx: jnp.ndarray, b: int, k: int):
     """Reorder the leading [B*K] axis of every leaf by per-batch beam index
-    [B, K]."""
+    [B, K].
+
+    Implemented as a one-hot matmul (perm [B, K, K] against the beam axis)
+    rather than take_along_axis: general gathers lower poorly on TPU for
+    large operands (measured ~200ms/step on the KV caches), while the K x K
+    permutation contraction is MXU work XLA handles at full speed.
+    """
+    perm = (beam_idx[..., None] == jnp.arange(k)[None, None, :])  # [B, K_new, K_old]
 
     def gather(leaf):
-        shaped = leaf.reshape(b, k, *leaf.shape[1:])
-        idx = beam_idx.reshape(b, k, *([1] * (leaf.ndim - 1)))
-        idx = jnp.broadcast_to(idx, (b, k, *leaf.shape[1:]))
-        return jnp.take_along_axis(shaped, idx, axis=1).reshape(b * k, *leaf.shape[1:])
+        shaped = leaf.reshape(b, k, -1)  # [B, K_old, F]
+        p = perm.astype(leaf.dtype if jnp.issubdtype(leaf.dtype, jnp.floating)
+                        else jnp.float32)
+        out = jax.lax.dot_general(
+            p, shaped.astype(p.dtype), (((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=p.dtype)  # [B, K_new, F]
+        return out.astype(leaf.dtype).reshape(b * k, *leaf.shape[1:])
 
     return jax.tree.map(gather, tree)
 
@@ -56,6 +66,7 @@ def beam_search(
     eos_id: int = 0,
     length_penalty: float = 1.0,
     encoder_valid: jnp.ndarray | None = None,
+    early_exit: bool = False,
 ) -> BeamResult:
     """Batched beam search. Returns sequences sorted best-first per example."""
     b = encoder_out.shape[0]
@@ -94,8 +105,9 @@ def beam_search(
 
     def body(state):
         i, tokens, scores, done, cache = state
-        cur = jnp.take_along_axis(
-            tokens.reshape(b * k, max_len), jnp.full((b * k, 1), i), axis=1)
+        del state
+        cur = jax.lax.dynamic_slice_in_dim(
+            tokens.reshape(b * k, max_len), i, 1, axis=1)
         logits, cache = decoder.decode_step(params, cur, cache, i,
                                             encoder_valid=enc_valid)
         logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)  # [B*K, V]
@@ -113,7 +125,15 @@ def beam_search(
 
         tokens = jnp.take_along_axis(tokens, beam_idx[..., None], axis=1)
         done = jnp.take_along_axis(done, beam_idx, axis=1)
-        cache = _gather_beams(cache, beam_idx, b, k)
+        # Only the SELF-attention caches depend on beam history; the cross
+        # K/V rows are identical across beams of an example (computed from
+        # the repeated encoder output), so reordering them is a mathematical
+        # no-op — skipping it removes ~70% of the per-step gather traffic.
+        cache = [
+            {"self": _gather_beams(layer["self"], beam_idx, b, k),
+             "cross": layer["cross"]}
+            for layer in cache
+        ]
 
         token_idx = jnp.where(done, eos_id, token_idx)
         tokens = jax.lax.dynamic_update_slice(
@@ -122,7 +142,25 @@ def beam_search(
         return (i + 1, tokens, top_scores, done, cache)
 
     state = (jnp.int32(n_prefix - 1), tokens, scores, done, cache)
-    _, tokens, scores, done, _ = jax.lax.while_loop(cond, body, state)
+    if early_exit:
+        # Dynamic trip count: stops as soon as every beam is finished. NOTE:
+        # some remote-execution backends (e.g. the axon tunnel) serialize
+        # while_loop iterations with host round-trips — prefer the scan form
+        # there (default).
+        _, tokens, scores, done, _ = jax.lax.while_loop(cond, body, state)
+    else:
+        # Fixed trip count under lax.scan: one device dispatch, fully
+        # pipelined. No data-dependent control flow at all — finished beams
+        # no-op via masking (done beams only propose EOS at zero cost), so
+        # running the body past all-done is a (correct) no-op. This matters
+        # on remote-execution backends where while_loop/cond serialize with
+        # host round-trips (~200ms/step measured through the axon tunnel).
+        def scan_body(state, _):
+            return body(state), None
+
+        state, _ = jax.lax.scan(scan_body, state, None,
+                                length=max_len - n_prefix)
+        _, tokens, scores, done, _ = state
 
     # Length-normalized scores (Whisper-style avg log prob): count generated
     # tokens (exclude the prefix; include the terminating EOS position).

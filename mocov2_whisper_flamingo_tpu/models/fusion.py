@@ -95,16 +95,31 @@ class GatedCrossModalFusion:
         dh = self.d_model // h
         gates = {}
         for i, lp in enumerate(params["layers"]):
-            q_in = L.layer_norm(lp["attn_ln"], x)
-            b, tq, _ = q_in.shape
-            tk = xa.shape[1]
-            q = L.linear(lp["attn"]["q"], q_in, prec).reshape(b, tq, h, dh)
-            k = L.linear(lp["attn"]["k"], xa, prec).reshape(b, tk, h, dh)
-            v = L.linear(lp["attn"]["v"], xa, prec).reshape(b, tk, h, dh)
-            attn = multi_head_attention(q, k, v, kv_valid=video_valid, backend=self.backend)
-            attn = L.linear(lp["attn"]["out"], attn.reshape(b, tq, self.d_model), prec)
-            attn_gate = jnp.tanh(lp["attn_gate"]).astype(attn.dtype)
-            x = x + attn * attn_gate
+            if self.backend == "pallas":
+                # Fully-fused gated attention: LN -> q-proj -> MHA ->
+                # out-proj -> tanh-gate -> residual in ONE Pallas kernel
+                # (the K/V projections of the x-independent video stream are
+                # computed here, once per layer).
+                from mocov2_whisper_flamingo_tpu.ops.gated_attention import (
+                    gated_cross_attention)
+
+                k_full = L.linear(lp["attn"]["k"], xa, prec)
+                v_full = L.linear(lp["attn"]["v"], xa, prec)
+                x = gated_cross_attention(
+                    x, k_full, v_full, lp["attn"], lp["attn_ln"],
+                    lp["attn_gate"], kv_valid=video_valid, n_heads=h)
+            else:
+                q_in = L.layer_norm(lp["attn_ln"], x)
+                b, tq, _ = q_in.shape
+                tk = xa.shape[1]
+                q = L.linear(lp["attn"]["q"], q_in, prec).reshape(b, tq, h, dh)
+                k = L.linear(lp["attn"]["k"], xa, prec).reshape(b, tk, h, dh)
+                v = L.linear(lp["attn"]["v"], xa, prec).reshape(b, tk, h, dh)
+                attn = multi_head_attention(q, k, v, kv_valid=video_valid,
+                                            backend=self.backend)
+                attn = L.linear(lp["attn"]["out"], attn.reshape(b, tq, self.d_model), prec)
+                attn_gate = jnp.tanh(lp["attn_gate"]).astype(attn.dtype)
+                x = x + attn * attn_gate
 
             ff_in = L.layer_norm(lp["ff_ln"], x)
             ff = L.linear(lp["ff2"], L.gelu(L.linear(lp["ff1"], ff_in, prec)), prec)

@@ -330,6 +330,10 @@ class WhisperDecoder:
             x = x + _mlp(lp["mlp"], L.layer_norm(lp["mlp_ln"], x), prec)
             new_caches.append({"self": new_self, "cross": layer_cache["cross"]})
         x = L.layer_norm(params["ln_post"], x)
-        logits = jnp.matmul(
-            x.astype(jnp.float32), params["embed_tokens"]["embedding"].T.astype(jnp.float32))
-        return logits[:, 0], new_caches
+        # Vocab projection in the compute dtype (fp32 accumulation): at
+        # decode time this [B, D] x [D, V] matmul reads the whole embedding
+        # table every step — bf16 halves that traffic.
+        embed_t = prec.cast(params["embed_tokens"]["embedding"]).T
+        logits = jnp.matmul(prec.cast(x), embed_t,
+                            preferred_element_type=jnp.float32)
+        return logits[:, 0].astype(jnp.float32), new_caches
