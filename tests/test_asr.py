@@ -1,0 +1,82 @@
+"""Audio-only ASR pipeline (BASELINE configs 1-2): wav -> mel -> encoder ->
+decode -> tokens, end to end."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from mocov2_whisper_flamingo_tpu.models.asr import WhisperASR
+from mocov2_whisper_flamingo_tpu.models.whisper import WhisperConfig
+
+TINY = WhisperConfig(n_mels=80, d_model=32, encoder_layers=1, decoder_layers=1,
+                     n_heads=4, d_ff=64, vocab_size=50,
+                     max_source_positions=50, max_target_positions=16)
+EOS = 3
+PREFIX = [1, 2]
+
+
+@pytest.fixture(scope="module")
+def asr():
+    model = WhisperASR(config=TINY, backend="xla")
+    params = model.init(jax.random.PRNGKey(0))
+    return model, params
+
+
+def test_transcribe_greedy(asr, rng):
+    model, params = asr
+    wav = rng.standard_normal(16000).astype(np.float32)  # 1s; pad to 100 frames
+    tokens = model.transcribe_tokens(
+        params, jnp.asarray(wav), PREFIX, beam_size=1, max_len=10, eos_id=EOS,
+        pad_to=TINY.max_source_positions * 2 * 160)
+    assert tokens.shape == (1, 10)
+    assert list(np.asarray(tokens)[0, :2]) == PREFIX
+
+
+def test_transcribe_beam_batched(asr, rng):
+    model, params = asr
+    wav = rng.standard_normal((2, 16000)).astype(np.float32)
+    tokens = model.transcribe_tokens(
+        params, jnp.asarray(wav), PREFIX, beam_size=3, max_len=10, eos_id=EOS,
+        pad_to=TINY.max_source_positions * 2 * 160)
+    assert tokens.shape == (2, 10)
+
+
+def test_noisy_audio_still_decodes(asr, rng):
+    """0 dB babble mixing on the mel (config 2 shape)."""
+    from mocov2_whisper_flamingo_tpu.ops.augment import add_babble_noise
+
+    model, params = asr
+    wav = rng.standard_normal(16000).astype(np.float32)
+    mel = model.features(jnp.asarray(wav), pad_to=TINY.max_source_positions * 2 * 160)
+    bed = jnp.asarray(rng.standard_normal(60000).astype(np.float32))
+    noisy = jnp.swapaxes(
+        add_babble_noise(jnp.swapaxes(mel, -1, -2), bed, jax.random.PRNGKey(0),
+                         snr_levels=(0.0,)), -1, -2)
+    enc = model.encode(params, noisy)
+    assert np.isfinite(np.asarray(enc)).all()
+
+
+def test_hf_weight_load_roundtrip(asr):
+    """load_whisper_torch installs converted encoder+decoder weights."""
+    torch = pytest.importorskip("torch")
+    transformers = pytest.importorskip("transformers")
+
+    hf_cfg = transformers.WhisperConfig(
+        vocab_size=TINY.vocab_size, num_mel_bins=80, encoder_layers=1,
+        encoder_attention_heads=4, decoder_layers=1, decoder_attention_heads=4,
+        d_model=32, encoder_ffn_dim=64, decoder_ffn_dim=64,
+        max_source_positions=TINY.max_source_positions,
+        max_target_positions=TINY.max_target_positions,
+        pad_token_id=0, bos_token_id=1, eos_token_id=2, decoder_start_token_id=1)
+    torch.manual_seed(0)
+    hf = transformers.WhisperModel(hf_cfg).eval()
+
+    model, _ = asr
+    params = model.load_whisper_torch(hf.state_dict())
+    rng = np.random.default_rng(0)
+    mel = rng.standard_normal((1, 80, TINY.max_source_positions * 2)).astype(np.float32)
+    ours = np.asarray(model.encode(params, jnp.asarray(mel)))
+    with torch.no_grad():
+        ref = hf.encoder(torch.from_numpy(mel)).last_hidden_state.numpy()
+    np.testing.assert_allclose(ours, ref, atol=2e-5, rtol=1e-4)
