@@ -278,7 +278,7 @@ class WhisperDecoder:
     # -- incremental decode ---------------------------------------------------
 
     def init_cache(self, params: L.Params, encoder_out: jnp.ndarray,
-                   max_len: int | None = None, dtype=jnp.float32) -> list[dict]:
+                   max_len: int | None = None, dtype=None) -> list[dict]:
         """Pre-allocate per-layer self-attn caches and precompute cross-attn
         K/V from the encoder output (computed once per utterance — the big
         win of KV-cached decoding)."""
@@ -286,6 +286,10 @@ class WhisperDecoder:
         b = encoder_out.shape[0]
         max_len = max_len or cfg.max_target_positions
         prec = self.precision
+        if dtype is None:
+            # Caches in the compute dtype: on bf16 policies this halves the
+            # per-step HBM traffic of cache reads and beam reorders.
+            dtype = prec.compute_dtype
         caches = []
         enc = prec.cast(encoder_out)
         for lp in params["layers"]:
