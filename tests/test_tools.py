@@ -142,3 +142,44 @@ def test_smoke_test_cli(tmp_path, monkeypatch):
         "smoke_test", "--set", f"data.root_dir={tmp_path}",
         "--set", "data.max_frames=8", "--num-batches", "1"])
     smoke_test.main()  # must not raise
+
+
+def test_evaluate_ctc_greedy(tmp_path, net_params):
+    """tools/evaluate end-to-end over a synthetic on-disk dataset."""
+    import wave as wave_mod
+
+    from mocov2_whisper_flamingo_tpu.config import get_config
+    from mocov2_whisper_flamingo_tpu.datamodule.data_module import DataModule
+    from mocov2_whisper_flamingo_tpu.tools.evaluate import (
+        evaluate_ctc_greedy, write_predictions)
+
+    rng = np.random.default_rng(0)
+    for split in ("train", "val", "test"):
+        vdir = tmp_path / split / f"{split}_video_seg12s" / "s"
+        tdir = tmp_path / split / f"{split}_text_seg12s" / "s"
+        vdir.mkdir(parents=True)
+        tdir.mkdir(parents=True)
+        for i in range(2):
+            np.save(vdir / f"c{i}.npy",
+                    rng.integers(0, 255, (6, 32, 32, 3), dtype=np.uint8))
+            with wave_mod.open(str(vdir / f"c{i}.wav"), "wb") as w:
+                w.setnchannels(1)
+                w.setsampwidth(2)
+                w.setframerate(16000)
+                w.writeframes((np.sin(np.arange(8000) / 9) * 20000).astype("<i2").tobytes())
+            (tdir / f"c{i}.txt").write_text("xin chao")
+
+    cfg = get_config({"data.root_dir": str(tmp_path), "data.max_frames": 8,
+                      "data.test_batch_size": 2})
+    dm = DataModule(cfg)
+    dm.setup()
+    net, params = net_params
+    report = evaluate_ctc_greedy(net, params, dm, dm.tokenizer, split="test")
+    assert report["n"] == 2
+    assert 0.0 <= report["wer"] <= 5.0
+
+    out = tmp_path / "preds.txt"
+    write_predictions(report, str(out))
+    from mocov2_whisper_flamingo_tpu.tools.monitor import parse_results_file
+
+    assert len(parse_results_file(str(out))) == 2
