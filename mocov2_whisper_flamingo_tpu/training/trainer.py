@@ -202,13 +202,23 @@ class Trainer:
     # -- loops ---------------------------------------------------------------------
 
     def fit(self, datamodule, params: dict, max_epochs: int | None = None,
-            max_steps: int | None = None) -> dict:
+            max_steps: int | None = None, resume: str | None = None) -> dict:
         train_loader = datamodule.train_dataloader()
         epochs = max_epochs or self.config["training"]["epochs"]
         steps_per_epoch = getattr(train_loader, "__len__", lambda: 100)()
         total = max_steps or epochs * max(steps_per_epoch, 1)
 
         params, opt_state = self.setup(params, total)
+        if resume:
+            abstract = jax.tree.map(
+                lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype)
+                if hasattr(x, "shape") else x,
+                {"params": params, "opt_state": opt_state, "step": 0})
+            restored = self.ckpt.restore(
+                abstract, resume if resume != "last" else None)
+            params, opt_state = restored["params"], restored["opt_state"]
+            self.global_step = int(restored["step"])
+            logger.info("resumed at step %d", self.global_step)
         rng = jax.random.PRNGKey(self.config["training"].get("seed", 0))
 
         for epoch in range(epochs):
@@ -234,8 +244,10 @@ class Trainer:
                 self.writer.add_scalar(f"val/{name}", value, self.global_step)
             self.writer.flush()
 
+            # Full resumable state: params + optimizer state + step (the
+            # reference relied on Lightning's ckpt_path for this).
             self.ckpt.save(
-                {"params": params, "step": self.global_step},
+                {"params": params, "opt_state": opt_state, "step": self.global_step},
                 self.global_step, metric=val_metrics["loss"])
             if self.early_stopping.update(val_metrics["loss"]):
                 logger.info("early stopping at epoch %d", epoch)

@@ -189,3 +189,32 @@ def test_frozen_params_unchanged_after_fit(trainer_setup):
     np.testing.assert_array_equal(before, after)  # frozen
     after_fusion = np.asarray(params["fusion"]["layers"][0]["attn_gate"])
     assert not np.array_equal(before_fusion, after_fusion)  # trained
+
+
+def test_fit_resume_roundtrip(trainer_setup):
+    """Fit one epoch, then resume from 'last' with optimizer state intact."""
+    trainer, params, tmp_path = trainer_setup
+    dm = SyntheticDataModule(n_batches=2)
+    params = trainer.fit(dm, params, max_epochs=1)
+    step_after = trainer.global_step
+    assert step_after > 0
+
+    # fresh trainer instance resumes from the last checkpoint
+    from mocov2_whisper_flamingo_tpu.config import get_config
+    from mocov2_whisper_flamingo_tpu.training.trainer import Trainer
+    from mocov2_whisper_flamingo_tpu.utils.tokenizer import ByteTokenizer
+
+    cfg = get_config({
+        "training.epochs": 1,
+        "training.accumulate_grad_batches": 2,
+        "output.checkpoint_dir": str(tmp_path / "ckpt"),
+        "output.log_dir": str(tmp_path / "logs"),
+        "output.log_every_n_steps": 1,
+        "mesh.data": 4,
+        "mesh.model": 2,
+    })
+    net2 = _tiny_net()
+    trainer2 = Trainer(cfg, net2, ByteTokenizer())
+    params2 = net2.init(jax.random.PRNGKey(0))
+    params2 = trainer2.fit(dm, params2, max_epochs=1, resume="last")
+    assert trainer2.global_step > step_after  # continued counting
