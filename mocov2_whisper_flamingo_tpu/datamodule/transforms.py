@@ -24,7 +24,6 @@ All randomness takes an explicit ``numpy.random.Generator``.
 from __future__ import annotations
 
 import logging
-import math
 
 import numpy as np
 

@@ -58,6 +58,7 @@ class AVNet:
         whisper_name: str = "whisper-small",
         precision: L.Precision = L.FP32,
         backend: str | None = None,
+        remat: bool = False,
     ):
         if backend is None:
             from mocov2_whisper_flamingo_tpu.ops.attention import default_attention_backend
@@ -81,7 +82,8 @@ class AVNet:
         # n_layers // 2 fusion blocks, as the reference wires it
         # (reference: av_net.py:51-57).
         self.fusion = GatedCrossModalFusion(
-            d_model, n_heads, max(n_layers // 2, 1), dropout, precision, backend)
+            d_model, n_heads, max(n_layers // 2, 1), dropout, precision, backend,
+            remat=remat)
 
         # Fixed sinusoidal position tables (buffers, not params;
         # reference: models/utils.py:8-28 uses max_len 5000).

@@ -59,13 +59,18 @@ class GatedCrossModalFusion:
     """
 
     def __init__(self, d_model: int, n_heads: int, n_layers: int, dropout: float = 0.1,
-                 precision: L.Precision = L.FP32, backend: str = "xla"):
+                 precision: L.Precision = L.FP32, backend: str = "xla",
+                 remat: bool = False):
         self.d_model = d_model
         self.n_heads = n_heads
         self.n_layers = n_layers
         self.dropout_rate = dropout
         self.precision = precision
         self.backend = backend
+        # Rematerialize each gated block on the backward pass (trade FLOPs
+        # for activation memory — jax.checkpoint; the AMP analog knob is
+        # config precision.rematerialize).
+        self.remat = remat
 
     def init(self, key: jax.Array) -> dict:
         keys = jax.random.split(key, self.n_layers + 2)
@@ -94,7 +99,8 @@ class GatedCrossModalFusion:
         h = self.n_heads
         dh = self.d_model // h
         gates = {}
-        for i, lp in enumerate(params["layers"]):
+
+        def layer_step(lp, x, xa, video_valid, sub_rng):
             if self.backend == "pallas":
                 # Fully-fused gated attention: LN -> q-proj -> MHA ->
                 # out-proj -> tanh-gate -> residual in ONE Pallas kernel
@@ -123,12 +129,19 @@ class GatedCrossModalFusion:
 
             ff_in = L.layer_norm(lp["ff_ln"], x)
             ff = L.linear(lp["ff2"], L.gelu(L.linear(lp["ff1"], ff_in, prec)), prec)
+            if train and sub_rng is not None:
+                ff = L.dropout(ff, self.dropout_rate, sub_rng, deterministic=False)
+            ff_gate = jnp.tanh(lp["ff_gate"]).astype(ff.dtype)
+            return x + ff * ff_gate
+
+        if self.remat:
+            layer_step = jax.checkpoint(layer_step)
+
+        for i, lp in enumerate(params["layers"]):
+            sub = None
             if train and rng is not None:
                 rng, sub = jax.random.split(rng)
-                ff = L.dropout(ff, self.dropout_rate, sub, deterministic=False)
-            ff_gate = jnp.tanh(lp["ff_gate"]).astype(ff.dtype)
-            x = x + ff * ff_gate
-
+            x = layer_step(lp, x, xa, video_valid, sub)
             if return_gates:
                 gates[f"attn_gate_{i}"] = jnp.tanh(lp["attn_gate"])
                 gates[f"ff_gate_{i}"] = jnp.tanh(lp["ff_gate"])

@@ -22,7 +22,7 @@ fp32 LayerNorm/softmax islands; the decoder exposes an explicit KV cache
 from __future__ import annotations
 
 import dataclasses
-from typing import Any
+# (typing imports trimmed)
 
 import jax
 import jax.numpy as jnp

@@ -27,7 +27,7 @@ import logging
 import os
 import shutil
 import time
-from typing import Any, Iterable
+from typing import Iterable
 
 import jax
 import jax.numpy as jnp

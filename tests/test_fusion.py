@@ -128,3 +128,27 @@ def test_gate_reporting(rng):
     _, gates = fusion.apply(params, audio, video, return_gates=True)
     assert set(gates) == {"attn_gate_0", "ff_gate_0", "attn_gate_1", "ff_gate_1"}
     assert all(float(v) == 0.0 for v in gates.values())
+
+
+def test_remat_matches_no_remat(rng):
+    """jax.checkpoint rematerialization changes memory, not math: outputs and
+    grads identical."""
+    import jax
+
+    x = jnp.asarray(rng.standard_normal((1, 5, D)).astype(np.float32))
+    xa = jnp.asarray(rng.standard_normal((1, 7, D)).astype(np.float32))
+
+    f_plain = GatedCrossModalFusion(D, H, n_layers=2, dropout=0.0)
+    f_remat = GatedCrossModalFusion(D, H, n_layers=2, dropout=0.0, remat=True)
+    params = f_plain.init(jax.random.PRNGKey(0))
+    for layer in params["layers"]:
+        layer["attn_gate"] = jnp.asarray(0.3)
+
+    out1 = f_plain.apply(params, x, xa)
+    out2 = f_remat.apply(params, x, xa)
+    np.testing.assert_allclose(np.asarray(out1), np.asarray(out2), atol=1e-6)
+
+    g1 = jax.grad(lambda p: jnp.sum(f_plain.apply(p, x, xa) ** 2))(params)
+    g2 = jax.grad(lambda p: jnp.sum(f_remat.apply(p, x, xa) ** 2))(params)
+    for a, b in zip(jax.tree.leaves(g1), jax.tree.leaves(g2)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)

@@ -51,6 +51,7 @@ def build_net(config, vocab_size: int):
         enable_logging=config["output"]["enable_logging"],
         whisper_name=config["whisper"]["model_name"],
         precision=precision,
+        remat=bool(config["precision"].get("rematerialize", False)),
     )
     params = net.init(jax.random.PRNGKey(config["training"].get("seed", 0)))
     return net, params
