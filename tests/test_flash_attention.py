@@ -18,6 +18,16 @@ from mocov2_whisper_flamingo_tpu.ops.flash_attention import flash_attention
 ON_TPU = bool(os.environ.get("AVSR_TEST_TPU"))
 
 
+# Explicit tiny blocks exercise the streaming-softmax path in interpret
+# mode; the real TPU lowering requires >=(8,128)-aligned tiles, so on
+# hardware we use the production auto-blocking.
+BLOCKS = {} if ON_TPU else {"block_q": 8, "block_k": 8}
+# On hardware the XLA reference path itself computes in default (bf16)
+# matmul precision while the kernel accumulates fp32 — compare loosely.
+TOL = dict(atol=5e-3, rtol=5e-2) if ON_TPU else dict(atol=2e-5, rtol=1e-4)
+GRAD_TOL = dict(atol=2e-2, rtol=5e-2) if ON_TPU else dict(atol=1e-4, rtol=1e-3)
+
+
 def _run(fn, *args, **kwargs):
     if ON_TPU:
         return fn(*args, **kwargs)
@@ -36,9 +46,9 @@ def _qkv(rng, b=2, tq=24, tk=40, h=2, d=16):
 def test_matches_xla_unmasked(rng, shape):
     b, tq, tk, h, d = shape
     q, k, v = _qkv(rng, b, tq, tk, h, d)
-    ours = _run(flash_attention, q, k, v, block_q=8, block_k=8)
+    ours = _run(flash_attention, q, k, v, **BLOCKS)
     ref = _xla_attention(q, k, v, None, d ** -0.5, False)
-    np.testing.assert_allclose(np.asarray(ours), np.asarray(ref), atol=2e-5, rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(ours), np.asarray(ref), **TOL)
 
 
 def test_key_padding_mask(rng):
@@ -46,25 +56,24 @@ def test_key_padding_mask(rng):
     valid = np.ones((2, 40), bool)
     valid[0, 25:] = False
     valid[1, 10:] = False
-    ours = _run(flash_attention, q, k, v, kv_valid=jnp.asarray(valid),
-                block_q=8, block_k=8)
+    ours = _run(flash_attention, q, k, v, kv_valid=jnp.asarray(valid), **BLOCKS)
     ref = _xla_attention(q, k, v, jnp.asarray(valid), 16 ** -0.5, False)
-    np.testing.assert_allclose(np.asarray(ours), np.asarray(ref), atol=2e-5, rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(ours), np.asarray(ref), **TOL)
 
 
 def test_causal(rng):
     q, k, v = _qkv(rng, tq=16, tk=16)
-    ours = _run(flash_attention, q, k, v, causal=True, block_q=8, block_k=8)
+    ours = _run(flash_attention, q, k, v, causal=True, **BLOCKS)
     ref = _xla_attention(q, k, v, None, 16 ** -0.5, True)
-    np.testing.assert_allclose(np.asarray(ours), np.asarray(ref), atol=2e-5, rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(ours), np.asarray(ref), **TOL)
 
 
 def test_unaligned_lengths(rng):
     """T not a multiple of the block size exercises the padding path."""
     q, k, v = _qkv(rng, tq=13, tk=27)
-    ours = _run(flash_attention, q, k, v, block_q=8, block_k=8)
+    ours = _run(flash_attention, q, k, v, **BLOCKS)
     ref = _xla_attention(q, k, v, None, 16 ** -0.5, False)
-    np.testing.assert_allclose(np.asarray(ours), np.asarray(ref), atol=2e-5, rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(ours), np.asarray(ref), **TOL)
 
 
 def test_gradients_match_xla(rng):
@@ -73,7 +82,7 @@ def test_gradients_match_xla(rng):
 
     def loss_flash(q, k, v):
         return jnp.sum(_run(flash_attention, q, k, v, kv_valid=valid,
-                            block_q=8, block_k=8) ** 2)
+                            **BLOCKS) ** 2)
 
     def loss_ref(q, k, v):
         return jnp.sum(_xla_attention(q, k, v, valid, 16 ** -0.5, False) ** 2)
@@ -81,13 +90,13 @@ def test_gradients_match_xla(rng):
     g_ours = jax.grad(loss_flash, argnums=(0, 1, 2))(q, k, v)
     g_ref = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
     for a, b in zip(g_ours, g_ref):
-        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4, rtol=1e-3)
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), **GRAD_TOL)
 
 
 def test_bf16_inputs(rng):
     q, k, v = _qkv(rng, b=1, tq=16, tk=16)
     qb, kb, vb = (x.astype(jnp.bfloat16) for x in (q, k, v))
-    ours = _run(flash_attention, qb, kb, vb, block_q=8, block_k=8)
+    ours = _run(flash_attention, qb, kb, vb, **BLOCKS)
     assert ours.dtype == jnp.bfloat16
     ref = _xla_attention(q, k, v, None, 16 ** -0.5, False)
     np.testing.assert_allclose(np.asarray(ours, dtype=np.float32), np.asarray(ref),

@@ -12,6 +12,8 @@ from mocov2_whisper_flamingo_tpu.models.fusion import GatedCrossModalFusion
 from mocov2_whisper_flamingo_tpu.ops.gated_attention import gated_cross_attention
 
 ON_TPU = bool(os.environ.get("AVSR_TEST_TPU"))
+TOL = dict(atol=5e-3, rtol=5e-2) if ON_TPU else dict(atol=3e-5, rtol=1e-4)
+GRAD_TOL = dict(atol=2e-2, rtol=5e-2) if ON_TPU else dict(atol=1e-4, rtol=1e-3)
 D, H = 64, 4
 
 
@@ -60,7 +62,7 @@ def test_fused_matches_unfused(rng):
     ref = _unfused(lp, x, k_full, v_full, valid)
     ours = _run(gated_cross_attention, x, k_full, v_full, lp["attn"],
                 lp["attn_ln"], lp["attn_gate"], kv_valid=valid, n_heads=H)
-    np.testing.assert_allclose(np.asarray(ours), np.asarray(ref), atol=3e-5, rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(ours), np.asarray(ref), **TOL)
 
 
 def test_fused_gradients_match(rng):
@@ -81,7 +83,7 @@ def test_fused_gradients_match(rng):
     g1 = jax.grad(loss_fused, argnums=(0, 1, 2, 3))(x, k_full, v_full, lp["attn_gate"])
     g2 = jax.grad(loss_ref, argnums=(0, 1, 2, 3))(x, k_full, v_full, lp["attn_gate"])
     for a, b in zip(g1, g2):
-        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4, rtol=1e-3)
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), **GRAD_TOL)
 
 
 def test_fusion_module_pallas_backend_matches_xla(rng):
@@ -96,4 +98,4 @@ def test_fusion_module_pallas_backend_matches_xla(rng):
 
     fusion_p = GatedCrossModalFusion(D, H, n_layers=1, dropout=0.0, backend="pallas")
     ours = _run(fusion_p.apply, params, x, xa, video_valid=valid)
-    np.testing.assert_allclose(np.asarray(ours), np.asarray(ref), atol=3e-5, rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(ours), np.asarray(ref), **TOL)
