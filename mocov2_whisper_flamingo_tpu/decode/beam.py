@@ -1,17 +1,21 @@
 """KV-cached beam search under jit.
 
 Hard part #2 from SURVEY.md §7: the whole search is compiled — static
-[B, K, L] shapes, beams flattened into the batch for the decoder step,
-per-beam KV caches gathered with ``take_along_axis`` after each expansion,
-EOS masking instead of early Python exits, and a ``lax.while_loop`` that
-stops early once every beam is finished (data-dependent trip count is fine
-inside while_loop).
+[B, K, L] shapes, beams flattened into the batch for the decoder step, and
+EOS masking instead of early Python exits.
 
-Design notes (TPU):
+Design notes (TPU, each measured — see docs/DESIGN.md):
 - the decode step runs on [B*K] rows so the MXU sees one batched matmul per
   projection rather than K small ones;
-- the cross-attention K/V cache is computed once per utterance and gathered
-  (not recomputed) on beam reshuffles;
+- the loop is a fixed-trip-count ``lax.scan`` (finished beams no-op via
+  masking); ``while_loop``/``cond`` serialize with ~200 ms/step host
+  round-trips on remote-execution backends (``early_exit=True`` restores the
+  dynamic loop where that's profitable);
+- beam reordering is a one-hot K x K matmul, not ``take_along_axis`` — the
+  general gather lowers ~100x slower on large KV caches;
+- only the SELF-attention caches are reordered; cross K/V rows are
+  beam-invariant by construction (computed from the repeated encoder
+  output) and the cross cache is computed once per utterance;
 - scores use the standard log-sum trick with finished-beam freezing: a done
   beam only proposes EOS at zero incremental cost, so its score is stable
   and comparable under the final length normalization.
