@@ -72,3 +72,29 @@ def test_batch_sharding_leading_axis():
     sh = batch_sharding(mesh, batch)
     assert sh["audio"].spec == P("data")
     assert sh["scalar_len"].spec == P()  # 3 % 4 != 0 -> replicated
+
+
+def test_beam_search_data_parallel(rng):
+    """BASELINE config 4 shape: batched beam decode with the batch sharded
+    over the data axis of an 8-device mesh — XLA partitions the whole search."""
+    import jax.numpy as jnp
+
+    from mocov2_whisper_flamingo_tpu.decode import beam_search
+    from mocov2_whisper_flamingo_tpu.models.whisper import WhisperConfig, WhisperDecoder
+
+    cfg = WhisperConfig(n_mels=80, d_model=32, encoder_layers=1, decoder_layers=1,
+                        n_heads=4, d_ff=64, vocab_size=40,
+                        max_source_positions=16, max_target_positions=16)
+    dec = WhisperDecoder(cfg)
+    params = dec.init(jax.random.PRNGKey(0))
+
+    mesh = make_mesh(n_data=8, n_model=1)
+    enc_out = jnp.asarray(rng.standard_normal((8, 16, 32)).astype(np.float32))
+    enc_sharded = jax.device_put(enc_out, jax.NamedSharding(mesh, P("data")))
+    p_repl = jax.device_put(params, jax.NamedSharding(mesh, P()))
+
+    f = jax.jit(lambda p, e: beam_search(dec, p, e, [1, 2], beam_size=3,
+                                         max_len=10, eos_id=3).sequences)
+    sharded = np.asarray(f(p_repl, enc_sharded))
+    single = np.asarray(f(params, enc_out))
+    np.testing.assert_array_equal(sharded, single)

@@ -105,7 +105,9 @@ def main() -> None:
                         help="2-step synthetic run (sanity check)")
     parser.add_argument("--max-steps", type=int, default=None)
     parser.add_argument("--resume", type=str, default=None,
-                        help="checkpoint path to resume from")
+                        help="checkpoint path to resume from ('last' for the last one)")
+    parser.add_argument("--profile", type=str, default=None, metavar="DIR",
+                        help="capture a jax.profiler device trace of the run into DIR")
     args = parser.parse_args()
 
     config = config_from_args(args)
@@ -139,18 +141,20 @@ def main() -> None:
     net, params = build_net(config, vocab_size)
     trainer = Trainer(config, net, tokenizer)
 
-    if args.resume:
-        import jax
+    import contextlib
 
-        abstract = {"params": jax.tree.map(
-            lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype), params), "step": 0}
-        restored = trainer.ckpt.restore(abstract, args.resume)
-        params = restored["params"]
-        logger.info("resumed from %s at step %s", args.resume, restored["step"])
+    profile_ctx = contextlib.nullcontext()
+    if args.profile:
+        from mocov2_whisper_flamingo_tpu.utils.profiling import trace
+
+        profile_ctx = trace(args.profile)
 
     logger.info("starting training...")
-    params = trainer.fit(datamodule, params,
-                         max_steps=args.max_steps or (2 if args.smoke else None))
+    with profile_ctx:
+        params = trainer.fit(
+            datamodule, params,
+            max_steps=args.max_steps or (2 if args.smoke else None),
+            resume=args.resume)
 
     logger.info("starting testing...")
     metrics = trainer.test(datamodule, params)
