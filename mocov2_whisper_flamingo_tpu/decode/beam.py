@@ -79,12 +79,11 @@ def beam_search(
     n_prefix = int(prefix.shape[0])
     v = decoder.config.vocab_size
 
-    # Expand encoder state to [B*K, ...] once; cross K/V computed inside
-    # init_cache on the expanded batch (per-utterance work is shared by
-    # construction since rows are identical).
-    enc = jnp.repeat(encoder_out, k, axis=0)
-    enc_valid = jnp.repeat(encoder_valid, k, axis=0) if encoder_valid is not None else None
-    cache = decoder.init_cache(params, enc, max_len=max_len)
+    # Self caches get B*K rows; the cross K/V stays B-major (beam rows would
+    # be identical copies) — each example's cross cache is computed and read
+    # once per step regardless of beam width, and never reordered.
+    enc_valid = encoder_valid
+    cache = decoder.init_cache(params, encoder_out, max_len=max_len, beam_groups=k)
 
     tokens = jnp.full((b, k, max_len), eos_id, dtype=jnp.int32)
     tokens = tokens.at[:, :, :n_prefix].set(prefix[None, None, :])

@@ -76,10 +76,15 @@ class WhisperASR:
         """wav -> token ids [B, max_len] (best beam when beam_size > 1)."""
         mel = self.features(audio, pad_to=pad_to)
         enc = self.encode(params, mel)
+        # Decoder params cast to the compute dtype ONCE (not per token step).
+        prec = self.precision
+        dec_params = jax.tree.map(
+            lambda x: prec.cast(x) if jnp.issubdtype(x.dtype, jnp.floating) else x,
+            params["decoder"])
         if beam_size <= 1:
-            return greedy_decode(self.decoder, params["decoder"], enc,
+            return greedy_decode(self.decoder, dec_params, enc,
                                  prefix_ids, max_len, eos_id)
-        res: BeamResult = beam_search(self.decoder, params["decoder"], enc,
+        res: BeamResult = beam_search(self.decoder, dec_params, enc,
                                       prefix_ids, beam_size=beam_size,
                                       max_len=max_len, eos_id=eos_id)
         return res.sequences[:, 0]

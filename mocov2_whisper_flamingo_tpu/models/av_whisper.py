@@ -127,16 +127,27 @@ class AVWhisperNet:
 
     # -- inference -------------------------------------------------------------------
 
+    def _decode_params(self, params: dict) -> dict:
+        """Decoder params in the compute dtype, cast ONCE before the token
+        loop (XLA hoists loop-invariant casts out of the scan on its own —
+        measured no change on v5e — but the explicit cast keeps the weight
+        traffic halved even when that optimization doesn't fire)."""
+        prec = self.precision
+        return jax.tree.map(
+            lambda x: prec.cast(x) if jnp.issubdtype(x.dtype, jnp.floating) else x,
+            params["decoder"])
+
     def greedy(self, params: dict, input_batch: tuple, prefix_ids,
                max_len: int = 224, eos_id: int = 0) -> jnp.ndarray:
         features, valid = self.encode(params, input_batch)
-        return greedy_decode(self.decoder, params["decoder"], features,
+        return greedy_decode(self.decoder, self._decode_params(params), features,
                              prefix_ids, max_len, eos_id, encoder_valid=valid)
 
     def beam(self, params: dict, input_batch: tuple, prefix_ids,
              beam_size: int = 5, max_len: int = 224, eos_id: int = 0,
              length_penalty: float = 1.0) -> BeamResult:
         features, valid = self.encode(params, input_batch)
-        return beam_search(self.decoder, params["decoder"], features, prefix_ids,
-                           beam_size=beam_size, max_len=max_len, eos_id=eos_id,
-                           length_penalty=length_penalty, encoder_valid=valid)
+        return beam_search(self.decoder, self._decode_params(params), features,
+                           prefix_ids, beam_size=beam_size, max_len=max_len,
+                           eos_id=eos_id, length_penalty=length_penalty,
+                           encoder_valid=valid)

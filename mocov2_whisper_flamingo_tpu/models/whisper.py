@@ -278,10 +278,18 @@ class WhisperDecoder:
     # -- incremental decode ---------------------------------------------------
 
     def init_cache(self, params: L.Params, encoder_out: jnp.ndarray,
-                   max_len: int | None = None, dtype=None) -> list[dict]:
+                   max_len: int | None = None, dtype=None,
+                   beam_groups: int = 1) -> list[dict]:
         """Pre-allocate per-layer self-attn caches and precompute cross-attn
         K/V from the encoder output (computed once per utterance — the big
-        win of KV-cached decoding)."""
+        win of KV-cached decoding).
+
+        ``beam_groups``: for beam decoding pass the UN-repeated encoder
+        output and the beam width here — the self caches get B*K rows while
+        the cross K/V stays B-major (one copy per example instead of per
+        beam: the rows would be identical, so this cuts the dominant
+        cross-cache HBM read per step by K and the reorder traffic to zero).
+        """
         cfg = self.config
         b = encoder_out.shape[0]
         max_len = max_len or cfg.max_target_positions
@@ -297,12 +305,41 @@ class WhisperDecoder:
             cv = _split_heads(L.linear(lp["cross_attn"]["v"], enc, prec), cfg.n_heads)
             caches.append({
                 "self": {
-                    "k": jnp.zeros((b, max_len, cfg.n_heads, cfg.head_dim), dtype),
-                    "v": jnp.zeros((b, max_len, cfg.n_heads, cfg.head_dim), dtype),
+                    "k": jnp.zeros((b * beam_groups, max_len, cfg.n_heads, cfg.head_dim), dtype),
+                    "v": jnp.zeros((b * beam_groups, max_len, cfg.n_heads, cfg.head_dim), dtype),
                 },
                 "cross": {"k": ck.astype(dtype), "v": cv.astype(dtype)},
             })
         return caches
+
+    def _cross_step(self, lp: L.Params, x: jnp.ndarray, cross: dict,
+                    encoder_valid: jnp.ndarray | None, prec: L.Precision) -> jnp.ndarray:
+        """Single-query cross-attention against precomputed K/V. Supports a
+        B-major cross cache with B*K query rows (beam decoding): queries are
+        grouped per example so each example's K/V is read ONCE per step
+        regardless of beam width."""
+        cfg = self.config
+        h_, dh = cfg.n_heads, cfg.head_dim
+        rows = x.shape[0]
+        b_enc = cross["k"].shape[0]
+        groups = rows // b_enc
+
+        q_in = L.layer_norm(lp["cross_attn_ln"], x)
+        q = L.linear(lp["cross_attn"]["q"], q_in, prec)[:, 0]  # [rows, D]
+        q = q.reshape(b_enc, groups, h_, dh)
+        k = cross["k"].astype(q.dtype)  # [B, T, H, Dh]
+        v = cross["v"].astype(q.dtype)
+        s = jnp.einsum("bghd,bthd->bght", q, k,
+                       preferred_element_type=jnp.float32) * (dh ** -0.5)
+        if encoder_valid is not None:
+            ev = encoder_valid
+            if ev.shape[0] != b_enc:  # tolerate pre-repeated masks
+                ev = ev[::groups]
+            s = jnp.where(ev[:, None, None, :], s, -1e30)
+        p = jax.nn.softmax(s, axis=-1).astype(q.dtype)
+        a = jnp.einsum("bght,bthd->bghd", p, v)
+        a = a.reshape(rows, 1, h_ * dh)
+        return L.linear(lp["cross_attn"]["out"], a, prec)
 
     def decode_step(
         self,
@@ -325,11 +362,7 @@ class WhisperDecoder:
                 n_heads=cfg.n_heads, cache=layer_cache["self"], cache_index=index,
                 precision=prec, backend="xla")  # single-query step: XLA path
             x = x + h
-            h, _ = attention_block(
-                lp["cross_attn"], L.layer_norm(lp["cross_attn_ln"], x),
-                kv_source=x,  # ignored; cross cache supplies K/V
-                kv_valid=encoder_valid, n_heads=cfg.n_heads,
-                cache=layer_cache["cross"], precision=prec, backend="xla")
+            h = self._cross_step(lp, x, layer_cache["cross"], encoder_valid, prec)
             x = x + h
             x = x + _mlp(lp["mlp"], L.layer_norm(lp["mlp_ln"], x), prec)
             new_caches.append({"self": new_self, "cross": layer_cache["cross"]})
