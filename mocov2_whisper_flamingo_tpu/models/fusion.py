@@ -17,6 +17,12 @@ epilogues XLA fuses into the surrounding matmuls.
 Mask convention: this module takes **True = valid** key masks; the AVNet
 boundary converts from the reference's torch key_padding_mask (True = pad,
 reference: av_net.py:103,111-114).
+
+Documented deviation: the reference also drops out the attention
+probabilities during training (nn.MultiheadAttention(dropout=0.1),
+gate_cross_attention.py:16); here dropout applies to the FF branch only —
+attention-prob dropout composes poorly with fused attention kernels and has
+no effect on eval/decode numerics.
 """
 
 from __future__ import annotations

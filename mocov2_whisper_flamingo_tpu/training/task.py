@@ -80,15 +80,21 @@ class AVSRTask:
         def step(params, opt_state, batch, rng):
             (loss, losses), grads = jax.value_and_grad(self.loss_fn, has_aux=True)(
                 params, batch, rng, True)
+            updates, new_opt_state = optimizer.update(grads, opt_state, params)
             if skip_nonfinite:
+                # A poisoned step applies NO update at all (zeroing grads
+                # alone would still apply weight decay) and leaves the
+                # optimizer state untouched.
                 ok = jnp.isfinite(loss)
-                grads = jax.tree.map(lambda g: jnp.where(ok, g, 0.0), grads)
+                updates = jax.tree.map(lambda u: jnp.where(ok, u, 0.0), updates)
+                new_opt_state = jax.tree.map(
+                    lambda n, o: jnp.where(ok, n, o) if hasattr(n, "shape") else n,
+                    new_opt_state, opt_state)
                 losses = dict(losses, skipped=(~ok).astype(jnp.float32))
-            updates, opt_state = optimizer.update(grads, opt_state, params)
             params = jax.tree.map(
                 lambda p, u: p + u.astype(p.dtype) if u is not None else p,
                 params, updates)
-            return params, opt_state, losses
+            return params, new_opt_state, losses
 
         return step
 

@@ -221,6 +221,7 @@ class Trainer:
             logger.info("resumed at step %d", self.global_step)
         rng = jax.random.PRNGKey(self.config["training"].get("seed", 0))
 
+        losses = None
         for epoch in range(epochs):
             if hasattr(train_loader, "set_epoch"):
                 train_loader.set_epoch(epoch)
@@ -237,7 +238,8 @@ class Trainer:
                     self._log_train(params, losses)
             logger.info("epoch %d done in %.1fs (step %d)",
                         epoch, time.time() - t_epoch, self.global_step)
-            self._log_train(params, losses)
+            if losses is not None:
+                self._log_train(params, losses)
 
             val_metrics = self.validate(datamodule, params)
             for name, value in val_metrics.items():
@@ -259,6 +261,10 @@ class Trainer:
     def _log_train(self, params, losses) -> None:
         for name in ("ctc_loss", "ce_loss", "loss"):
             self.writer.add_scalar(f"train/{name}", float(losses[name]), self.global_step)
+        if "skipped" in losses and float(losses["skipped"]):
+            # non-finite loss guarded by the NaN-skip failure detector
+            self.writer.add_scalar("train/skipped_steps", 1.0, self.global_step)
+            logger.warning("step %d skipped (non-finite loss)", self.global_step)
         accum = int(self.config["training"].get("accumulate_grad_batches", 1) or 1)
         self.writer.add_scalar(
             "lr", float(self.schedule(self.global_step // accum)), self.global_step)

@@ -218,3 +218,34 @@ def test_fit_resume_roundtrip(trainer_setup):
     params2 = net2.init(jax.random.PRNGKey(0))
     params2 = trainer2.fit(dm, params2, max_epochs=1, resume="last")
     assert trainer2.global_step > step_after  # continued counting
+
+
+def test_nan_skip_guard(trainer_setup):
+    """A batch that produces a non-finite loss must not corrupt params
+    (failure detection in the update path)."""
+    import jax.numpy as jnp
+
+    from mocov2_whisper_flamingo_tpu.training.optim import make_optimizer, trainable_mask_for
+    from mocov2_whisper_flamingo_tpu.training.task import AVSRTask
+
+    trainer, params, _ = trainer_setup
+    net = trainer.net
+    task = AVSRTask(net)
+    mask = trainable_mask_for(net, params)
+    opt, _ = make_optimizer({"max_lr": 1e-3, "accumulate_grad_batches": 1}, 10, mask)
+    opt_state = opt.init(params)
+    step = jax.jit(task.make_train_step(opt))
+
+    dm = SyntheticDataModule(n_batches=1)
+    batch = {k: jnp.asarray(v) for k, v in dm.batches[0].items() if k != "target_text"}
+    bad = dict(batch, audio=jnp.full_like(batch["audio"], jnp.nan))
+
+    before = np.asarray(params["decoder"]["kernel"]).copy()
+    params2, opt_state, losses = step(params, opt_state, bad, jax.random.PRNGKey(0))
+    assert float(losses["skipped"]) == 1.0
+    np.testing.assert_array_equal(np.asarray(params2["decoder"]["kernel"]), before)
+
+    # a good batch afterwards trains normally
+    params3, opt_state, losses = step(params2, opt_state, batch, jax.random.PRNGKey(1))
+    assert float(losses["skipped"]) == 0.0
+    assert np.isfinite(float(losses["loss"]))
