@@ -183,3 +183,47 @@ def test_evaluate_ctc_greedy(tmp_path, net_params):
     from mocov2_whisper_flamingo_tpu.tools.monitor import parse_results_file
 
     assert len(parse_results_file(str(out))) == 2
+
+
+def test_convert_checkpoint_whisper_roundtrip(tmp_path):
+    """convert_checkpoint CLI path: torch file -> orbax -> restore -> parity
+    with the live converter."""
+    torch = pytest.importorskip("torch")
+    transformers = pytest.importorskip("transformers")
+
+    hf_cfg = transformers.WhisperConfig(
+        vocab_size=64, num_mel_bins=80, encoder_layers=1, encoder_attention_heads=4,
+        decoder_layers=1, decoder_attention_heads=4, d_model=32,
+        encoder_ffn_dim=64, decoder_ffn_dim=64, max_source_positions=20,
+        max_target_positions=16, pad_token_id=0, bos_token_id=1, eos_token_id=2,
+        decoder_start_token_id=1)
+    torch.manual_seed(0)
+    model = transformers.WhisperModel(hf_cfg)
+    pt_path = tmp_path / "model.bin"
+    torch.save(model.state_dict(), str(pt_path))
+
+    import dataclasses
+    import sys
+
+    from mocov2_whisper_flamingo_tpu.models import whisper as W
+    from mocov2_whisper_flamingo_tpu.tools import convert_checkpoint as cc
+
+    tiny = dataclasses.replace(W.WHISPER_SIZES["whisper-tiny"], d_model=32,
+                               encoder_layers=1, decoder_layers=1, n_heads=4,
+                               d_ff=64, vocab_size=64, max_source_positions=20,
+                               max_target_positions=16)
+    with pytest.MonkeyPatch.context() as mp:
+        mp.setitem(W.WHISPER_SIZES, "whisper-tiny", tiny)
+        out_dir = tmp_path / "orbax"
+        mp.setattr(sys, "argv", [
+            "convert_checkpoint", "--kind", "whisper", "--size", "whisper-tiny",
+            "--input", str(pt_path), "--output", str(out_dir)])
+        cc.main()
+
+        import orbax.checkpoint as ocp
+
+        restored = ocp.StandardCheckpointer().restore(str(out_dir))
+        np.testing.assert_allclose(
+            restored["encoder"]["conv1"]["bias"],
+            model.encoder.conv1.bias.detach().numpy(), atol=1e-6)
+        assert "decoder" in restored and "embed_tokens" in restored["decoder"]
