@@ -35,7 +35,7 @@ def load_torch_state_dict(path: str):
                 break
     state = torch.load(path, map_location="cpu", weights_only=False)
     if isinstance(state, dict) and "state_dict" in state:
-        return state
+        return state["state_dict"]
     return state
 
 

@@ -83,6 +83,22 @@ def evaluate_beam(net, params, datamodule, tokenizer, beam_size=5,
     return {"wer": corpus_wer(refs, hyps), "n": len(refs), "refs": refs, "hyps": hyps}
 
 
+def restore_params(checkpoint_path: str, params):
+    """Load model params from any checkpoint this framework writes.
+
+    Trainer.fit saves ``{params, opt_state, step}`` (training/trainer.py) and
+    convert_checkpoint saves bare param trees — restore layout-agnostically
+    (no target), keep the params subtree, and cast onto the model's dtypes.
+    """
+    import jax
+    import jax.numpy as jnp
+    import orbax.checkpoint as ocp
+
+    restored = ocp.StandardCheckpointer().restore(os.path.abspath(checkpoint_path))
+    tree = restored.get("params", restored) if isinstance(restored, dict) else restored
+    return jax.tree.map(lambda t, x: jnp.asarray(x, t.dtype), params, tree)
+
+
 def write_predictions(report: dict, path: str) -> None:
     with open(path, "w", encoding="utf-8") as f:
         for pred, ref in zip(report["hyps"], report["refs"]):
@@ -128,12 +144,7 @@ def main() -> None:
         params = net.init(jax.random.PRNGKey(0))
 
     if args.checkpoint:
-        import orbax.checkpoint as ocp
-
-        abstract = {"params": jax.tree.map(
-            lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype), params), "step": 0}
-        params = ocp.StandardCheckpointer().restore(
-            os.path.abspath(args.checkpoint), target=abstract)["params"]
+        params = restore_params(args.checkpoint, params)
 
     if args.mode == "ctc-greedy":
         report = evaluate_ctc_greedy(net, params, datamodule, tokenizer, args.split)

@@ -185,6 +185,34 @@ def test_evaluate_ctc_greedy(tmp_path, net_params):
     assert len(parse_results_file(str(out))) == 2
 
 
+def test_evaluate_restores_trainer_checkpoint(tmp_path, net_params):
+    """Regression: eval CLI must load Trainer.fit's {params, opt_state, step}
+    layout (round-1 advisor finding: abstract-target mismatch raised)."""
+    import orbax.checkpoint as ocp
+
+    from mocov2_whisper_flamingo_tpu.tools.evaluate import restore_params
+
+    net, params = net_params
+    fake_opt_state = {"mu": jax.tree.map(np.zeros_like, params), "count": np.int32(7)}
+    path = tmp_path / "ckpt" / "step_7"
+    ckptr = ocp.StandardCheckpointer()
+    ckptr.save(str(path), {"params": params, "opt_state": fake_opt_state, "step": 7})
+    ckptr.wait_until_finished()
+
+    restored = restore_params(str(path), jax.tree.map(np.zeros_like, params))
+    flat_a = jax.tree.leaves(params)
+    flat_b = jax.tree.leaves(restored)
+    assert all(np.allclose(a, b) for a, b in zip(flat_a, flat_b))
+
+    # Bare param trees (convert_checkpoint output) load too.
+    bare = tmp_path / "ckpt" / "bare"
+    ckptr.save(str(bare), params)
+    ckptr.wait_until_finished()
+    restored2 = restore_params(str(bare), jax.tree.map(np.zeros_like, params))
+    assert all(np.allclose(a, b)
+               for a, b in zip(flat_a, jax.tree.leaves(restored2)))
+
+
 def test_convert_checkpoint_whisper_roundtrip(tmp_path):
     """convert_checkpoint CLI path: torch file -> orbax -> restore -> parity
     with the live converter."""
