@@ -9,14 +9,21 @@ the Whisper decoder for KV-cached beam-search decoding (beam=5). Batch of
 tokens/clip (~5 tok/s of Vietnamese; random weights never emit EOS, so this
 measures the no-early-exit worst case).
 
-Prints ONE JSON line {"metric", "value", "unit", "vs_baseline"};
-vs_baseline = fraction of the 50x-per-chip target (the reference publishes
-no numbers of its own — BASELINE.md).
+Prints ONE JSON line; the headline triple is {"metric", "value", "unit",
+"vs_baseline"} (vs_baseline = fraction of the 50x-per-chip target — the
+reference publishes no numbers of its own, BASELINE.md). Extra keys ride in
+the same object: encode/decode time split, MFU of the decode dispatch, and
+the chunked-streaming (BASELINE config 5) realtime factor.
+
+``--sizes medium,large-v2`` additionally measures the north-star scale
+configs (results recorded in BASELINE.md; not part of the driver line).
 """
 
 from __future__ import annotations
 
+import argparse
 import json
+import sys
 import time
 
 import numpy as np
@@ -26,67 +33,187 @@ T_VIDEO = 400          # reference max_frames (config.py:28)
 SECONDS_PER_CLIP = 30.0  # 3000 mel frames
 BEAM = 5
 MAX_TOKENS = 160
+PREFIX = [50258, 50278, 50359, 50363]  # sot, vi, transcribe, notimestamps
+EOS = 50257
+PEAK_BF16_FLOPS = 197e12  # TPU v5e peak dense bf16 (single chip)
+
+STREAM_CHUNKS = 10       # 5 minutes of audio in 30 s chunks
+STREAM_TOKENS_PER_CHUNK = 40
 
 
-def main() -> None:
-    import jax
+def _make_batch(rng, b: int):
     import jax.numpy as jnp
+
+    return (
+        jnp.asarray(rng.standard_normal((b, 3000, 80)), jnp.float32),
+        jnp.ones((b, 3000), bool),
+        jnp.asarray(rng.standard_normal((b, T_VIDEO, 3, 64, 64)), jnp.float32),
+        jnp.ones((b, T_VIDEO), bool),
+        jnp.full((b,), T_VIDEO, jnp.int32),
+    )
+
+
+def _build(whisper_name: str, backend=None):
+    import jax
 
     from mocov2_whisper_flamingo_tpu.models import layers as L
     from mocov2_whisper_flamingo_tpu.models.av_whisper import AVWhisperNet
 
-    def build(backend=None):
-        net = AVWhisperNet(
-            modelargs=(512, 8, 6, 3000, 2048, 0.1),
-            vocab_size=51865,
-            whisper_name="whisper-small",
-            precision=L.BF16,
-            backend=backend,
-        )
-        return net, net.init(jax.random.PRNGKey(0))
-
-    net, params = build()
-
-    rng = np.random.default_rng(0)
-    batch = (
-        jnp.asarray(rng.standard_normal((B, 3000, 80)), jnp.float32),
-        jnp.ones((B, 3000), bool),
-        jnp.asarray(rng.standard_normal((B, T_VIDEO, 3, 64, 64)), jnp.float32),
-        jnp.ones((B, T_VIDEO), bool),
-        jnp.full((B,), T_VIDEO, jnp.int32),
+    net = AVWhisperNet(
+        modelargs=(512, 8, 6, 3000, 2048, 0.1),
+        vocab_size=51865,
+        whisper_name=whisper_name,
+        precision=L.BF16,
+        backend=backend,
     )
-    prefix = [50258, 50278, 50359, 50363]  # sot, vi, transcribe, notimestamps
+    return net, net.init(jax.random.PRNGKey(0))
 
-    def make_decode(net):
-        @jax.jit
-        def decode(params, batch):
-            return net.beam(params, batch, prefix, beam_size=BEAM,
-                            max_len=MAX_TOKENS, eos_id=50257).sequences
-        return decode
 
-    decode = make_decode(net)
+def _time(fn, *args, iters=5):
+    out = fn(*args)
+    jax_block(out)
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = fn(*args)
+    jax_block(out)
+    return (time.perf_counter() - t0) / iters
+
+
+def jax_block(tree):
+    import jax
+
+    jax.tree.map(lambda x: x.block_until_ready()
+                 if hasattr(x, "block_until_ready") else x, tree)
+
+
+def bench_size(whisper_name: str, b: int = B, iters: int = 5):
+    """Measure one model size; returns a dict of timings."""
+    import jax
+
+    net, params = _build(whisper_name)
+    rng = np.random.default_rng(0)
+    batch = _make_batch(rng, b)
+
+    def make_fns(net):
+        decode = jax.jit(lambda p, bt: net.beam(
+            p, bt, PREFIX, beam_size=BEAM, max_len=MAX_TOKENS,
+            eos_id=EOS).sequences)
+        encode = jax.jit(lambda p, bt: net.encode(p, bt))
+        return decode, encode
+
+    decode, encode = make_fns(net)
     try:
-        decode(params, batch).block_until_ready()  # compile
+        decode(params, batch).block_until_ready()
     except Exception:
         # Pallas kernels can hit backend/toolchain regressions; the XLA
         # attention path is the measured-correct fallback.
-        net, params = build(backend="xla")
-        decode = make_decode(net)
+        net, params = _build(whisper_name, backend="xla")
+        decode, encode = make_fns(net)
         decode(params, batch).block_until_ready()
 
-    iters = 5
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        out = decode(params, batch)
-    out.block_until_ready()
-    dt = (time.perf_counter() - t0) / iters
+    dt = _time(decode, params, batch, iters=iters)
+    dt_enc = _time(encode, params, batch, iters=iters)
+    n_steps = MAX_TOKENS - len(PREFIX)
 
-    rtf = B * SECONDS_PER_CLIP / dt
+    flops = None
+    try:
+        cost = decode.lower(params, batch).compile().cost_analysis()
+        if isinstance(cost, (list, tuple)):
+            cost = cost[0]
+        flops = float(cost.get("flops", 0.0)) or None
+    except Exception:
+        pass
+
+    return {
+        "rtf": b * SECONDS_PER_CLIP / dt,
+        "total_ms": dt * 1e3,
+        "encode_ms": dt_enc * 1e3,
+        "decode_ms_per_step": (dt - dt_enc) * 1e3 / n_steps,
+        "mfu_pct": (flops / dt / PEAK_BF16_FLOPS * 100.0) if flops else None,
+        "net": net,
+        "params": params,
+    }
+
+
+def bench_streaming(net, params) -> float:
+    """Full-AV chunked streaming (BASELINE config 5 shape): per 30 s chunk
+    one jitted AV encode + one jitted beam decode dispatch, persistent
+    decoder KV cache across chunks. Returns the steady-state realtime
+    factor for 5 minutes of audio at B=1."""
+    import jax
+
+    from mocov2_whisper_flamingo_tpu.decode.streaming import StreamingDecoder
+
+    rng = np.random.default_rng(1)
+    encode = jax.jit(lambda p, bt: net.encode(p, bt))
+
+    stream = StreamingDecoder(
+        net.decoder, net._decode_params(params), PREFIX, max_len=448,
+        eos_id=EOS, max_tokens_per_chunk=STREAM_TOKENS_PER_CHUNK,
+        beam_size=BEAM)
+
+    # Pre-stage device-resident chunk inputs (same methodology as the
+    # headline): host-side RNG + a ~19 MB host->device transfer per chunk
+    # through the remote tunnel would otherwise dominate the measurement.
+    staged = [jax.device_put(_make_batch(rng, 1)) for _ in range(3)]
+    jax_block(staged)
+
+    def one_chunk(i):
+        feats, valid = encode(params, staged[i % len(staged)])
+        stream.process_chunk(feats, encoder_valid=valid)
+
+    one_chunk(0)  # compiles encode + first-chunk (priming) decode
+    one_chunk(1)  # compiles the steady-state decode variant
+    t0 = time.perf_counter()
+    for i in range(STREAM_CHUNKS):
+        one_chunk(i)
+    dt = time.perf_counter() - t0
+    return STREAM_CHUNKS * SECONDS_PER_CLIP / dt
+
+
+def main() -> None:
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--sizes", default="small",
+                        help="comma list: small,medium,large-v2")
+    parser.add_argument("--no-streaming", action="store_true")
+    args = parser.parse_args()
+    sizes = [s.strip() for s in args.sizes.split(",") if s.strip()]
+
+    result = None
+    for size in sizes:
+        name = f"whisper-{size}"
+        b = B if size in ("small", "base", "tiny") else 2
+        r = bench_size(name, b=b, iters=5 if size == "small" else 3)
+        print(f"[bench] {name} B={b}: rtf={r['rtf']:.1f}x "
+              f"encode={r['encode_ms']:.1f}ms "
+              f"decode={r['decode_ms_per_step']:.2f}ms/step "
+              f"mfu={r['mfu_pct'] and round(r['mfu_pct'], 1)}%",
+              file=sys.stderr)
+        if size == "small":
+            result = r
+
+    if result is None:  # non-default sizes only: report the first measured
+        name = f"whisper-{sizes[0]}"
+        result = r  # noqa: F821
+
+    streaming_rtf = None
+    if not args.no_streaming:
+        try:
+            streaming_rtf = bench_streaming(result["net"], result["params"])
+            print(f"[bench] streaming (5 min AV, beam={BEAM}): "
+                  f"{streaming_rtf:.1f}x realtime", file=sys.stderr)
+        except Exception as e:  # keep the headline line intact
+            print(f"[bench] streaming failed: {e!r}", file=sys.stderr)
+
     print(json.dumps({
         "metric": "AVSR beam=5 decode real-time factor (audio-sec/sec/chip)",
-        "value": round(rtf, 2),
+        "value": round(result["rtf"], 2),
         "unit": "x realtime",
-        "vs_baseline": round(rtf / 50.0, 3),
+        "vs_baseline": round(result["rtf"] / 50.0, 3),
+        "encode_ms_per_batch": round(result["encode_ms"], 2),
+        "decode_ms_per_step": round(result["decode_ms_per_step"], 3),
+        "decode_mfu_pct": result["mfu_pct"] and round(result["mfu_pct"], 2),
+        "streaming_rtf": streaming_rtf and round(streaming_rtf, 2),
     }))
 
 

@@ -212,6 +212,14 @@ def get_config(overrides: Iterable[str] | Mapping[str, Any] | None = None) -> Co
             rate_ratio=MODEL_DEFAULTS["rate_ratio"],
             modality="audiovisual",
             updated_tokenizer_dir=None,
+            # Compile-stability knobs (no reference analog — torch is
+            # shape-polymorphic; XLA recompiles per shape, so batches are
+            # quantized to power-of-two sizes and targets padded to length
+            # buckets, bounding the train/eval step to a few compiled
+            # variants. Set to False/None for the reference's exact
+            # pad-to-batch-max behavior.
+            quantize_batch_sizes=True,
+            target_len_buckets=(64, 128, 256, 448),
             dataset=ConfigDict(root_dir=DATA_ROOT),
         ),
         model=ConfigDict(

@@ -26,18 +26,33 @@ import numpy as np
 
 from mocov2_whisper_flamingo_tpu.datamodule.av_dataset import AVDataset
 from mocov2_whisper_flamingo_tpu.datamodule.samplers import (
-    ByFrameCountSampler, RandomSamplerWrapper, ShardedSampler)
+    ByFrameCountSampler, QuantizedBatchSampler, RandomSamplerWrapper,
+    ShardedSampler)
 from mocov2_whisper_flamingo_tpu.datamodule.transforms import AudioTransform, VideoTransform
 from mocov2_whisper_flamingo_tpu.utils.tokenizer import load_tokenizer
 
 logger = logging.getLogger(__name__)
 
 
-def collate_fn(batch: list[dict]) -> dict:
+def collate_fn(batch: list[dict], target_len_buckets=None) -> dict:
     """Pad target_ids to the batch max **with 0** — conscious replication of
     the reference quirk Q3 (data_module.py:134-137 pads with 0 while CE
-    ignores only -100); stack all modality tensors; keep raw texts."""
+    ignores only -100); stack all modality tensors; keep raw texts.
+
+    ``target_len_buckets``: optional ascending lengths; the batch max is
+    rounded UP to the smallest bucket that fits, so the jitted step sees a
+    handful of target shapes instead of one per batch (XLA recompiles per
+    shape; the reference's torch step was shape-polymorphic for free)."""
     max_target_len = max(item["target_ids"].shape[0] for item in batch)
+    if target_len_buckets:
+        for bucket in sorted(target_len_buckets):
+            if bucket >= max_target_len:
+                max_target_len = bucket
+                break
+        else:
+            raise ValueError(
+                f"target length {max_target_len} exceeds largest bucket "
+                f"{max(target_len_buckets)}")
     padded = []
     for item in batch:
         ids = item["target_ids"]
@@ -105,6 +120,9 @@ class DataModule:
         self.rate_ratio = data["rate_ratio"]
         self.modality = data["modality"]
         self.seed = config["training"].get("seed", 0) if "training" in config else 0
+        self.quantize_batch_sizes = data.get("quantize_batch_sizes", True)
+        buckets = data.get("target_len_buckets", (64, 128, 256, 448))
+        self.target_len_buckets = tuple(buckets) if buckets else None
 
         noise_file = config["augmentation"]["audio"]["train"].get("noise_file")
         self._noise_file = noise_file
@@ -147,6 +165,9 @@ class DataModule:
             self.test_dataset = self._make_dataset("test", "test", self.max_frames_val)
             logger.info("test dataset: %d samples", len(self.test_dataset))
 
+    def _collate(self, batch):
+        return collate_fn(batch, target_len_buckets=self.target_len_buckets)
+
     def _get_sampler(self, dataset, batch_size: int, shuffle: bool = True):
         base = ByFrameCountSampler(
             dataset,
@@ -155,6 +176,8 @@ class DataModule:
             seed=self.seed,
             max_frames=self.max_frames,
         )
+        if self.quantize_batch_sizes:
+            base = QuantizedBatchSampler(base, batch_size)
         import jax
 
         if jax.process_count() > 1:
@@ -167,18 +190,18 @@ class DataModule:
             self.setup("fit")
         return DataLoader(self.train_dataset,
                           self._get_sampler(self.train_dataset, self.batch_size, True),
-                          num_workers=self.num_workers)
+                          collate=self._collate, num_workers=self.num_workers)
 
     def val_dataloader(self) -> DataLoader:
         if self.val_dataset is None:
             self.setup("fit")
         return DataLoader(self.val_dataset,
                           self._get_sampler(self.val_dataset, self.val_batch_size, False),
-                          num_workers=self.num_workers)
+                          collate=self._collate, num_workers=self.num_workers)
 
     def test_dataloader(self) -> DataLoader:
         if self.test_dataset is None:
             self.setup("test")
         return DataLoader(self.test_dataset,
                           self._get_sampler(self.test_dataset, self.test_batch_size, False),
-                          num_workers=self.num_workers)
+                          collate=self._collate, num_workers=self.num_workers)

@@ -66,6 +66,49 @@ class ByFrameCountSampler:
         self.epoch = epoch
 
 
+class QuantizedBatchSampler:
+    """Split each packed batch into pieces whose sizes come from a small
+    allowed set (descending powers of two by default).
+
+    The token-budget packer emits a *different* batch size for nearly every
+    batch; downstream, every distinct (batch, target_len) shape forces a
+    fresh XLA compile of the train/eval step — at 30 s-10 min per remote
+    compile that makes real-data training impractical. Quantizing to
+    ``{batch_size, batch_size/2, ..., 1}`` bounds the compile count to
+    ~log2(batch_size) variants, drops no samples, and keeps every piece
+    within the original token budget (a subset of a packed batch packs)."""
+
+    def __init__(self, sampler, max_batch_size: int):
+        self.sampler = sampler
+        self.allowed = []
+        size = 1
+        while size <= max_batch_size:
+            self.allowed.append(size)
+            size *= 2
+        self.allowed.reverse()  # largest first
+
+    def _split(self, batch) -> list:
+        pieces, start, n = [], 0, len(batch)
+        while start < n:
+            for size in self.allowed:
+                if size <= n - start:
+                    pieces.append(batch[start : start + size])
+                    start += size
+                    break
+        return pieces
+
+    def __iter__(self):
+        for batch in self.sampler:
+            yield from self._split(batch)
+
+    def __len__(self) -> int:
+        return sum(len(self._split(b)) for b in self.sampler)
+
+    def set_epoch(self, epoch: int) -> None:
+        if hasattr(self.sampler, "set_epoch"):
+            self.sampler.set_epoch(epoch)
+
+
 class ShardedSampler:
     """Shard a batch sampler's output across hosts: pad the batch list (by
     wrapping) so every host gets the same count, optionally shuffle batch

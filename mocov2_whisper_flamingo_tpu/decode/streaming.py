@@ -2,79 +2,203 @@
 
 North-star config 5 (BASELINE.md): the reference bounds sequence length
 instead of streaming (SURVEY.md §5.7 — 12 s segments, hard caps at 3000 mel
-frames / 400 video frames). Here long audio is processed as consecutive 30 s
-chunks through the encoder while the *decoder state persists*: generated
-tokens stay in the self-attention KV cache across chunks and each chunk swaps
-in fresh cross-attention K/V — so the transcript continues seamlessly without
-re-decoding, and per-chunk work is one encoder pass + incremental decode.
+frames / 400 video frames; reference: av_dataset.py:211-219). Here long audio
+is processed as consecutive 30 s chunks through the encoder while the
+*decoder state persists*: generated tokens stay in the self-attention KV
+cache across chunks and each chunk swaps in fresh cross-attention K/V — so
+the transcript continues seamlessly without re-decoding, and per-chunk work
+is one encoder pass + one compiled decode dispatch.
+
+TPU design (v2 — replaces the round-1 host-driven per-token loop):
+- the whole per-chunk decode is ONE jitted ``lax.scan`` with a fixed trip
+  count (``max_tokens_per_chunk``); per-token host round-trips cost ~200 ms
+  each through the remote-execution tunnel (CLAUDE.md), which made the v1
+  loop orders of magnitude slower than the batched beam path;
+- beam search is supported (``beam_size`` >= 1; greedy == beam 1): within a
+  chunk the K beams evolve exactly as in ``decode/beam.py`` (one-hot-matmul
+  reorders, EOS freezing); at the chunk boundary the best beam is COMMITTED —
+  its tokens and self-cache are broadcast to all K rows and the next chunk
+  restarts the beam from that single hypothesis (standard streaming-beam
+  "path commit": hypotheses cannot straddle a chunk boundary, which keeps
+  state size constant over arbitrarily long audio);
+- cache-resume correctness: the committed position ``i`` is recomputed from
+  the token buffer (last non-filler position), and any self-K/V written past
+  it by finished beams is invisible on resume because ``decode_step`` masks
+  key positions ``>= cache_index + 1`` (models/whisper.py decode path). The
+  per-position self K/V depends only on (token id, position) at layer 0 and
+  on the *then-active* chunk's encoder context at deeper layers — the latter
+  is precisely the persistent-context semantics this decoder implements.
 """
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
+from mocov2_whisper_flamingo_tpu.decode.beam import NEG_INF, _gather_beams
+from mocov2_whisper_flamingo_tpu.models import layers as L
+
+
+def _cross_caches(decoder, params, encoder_out):
+    """Per-layer cross-attention K/V for one chunk ([B=1, T, H, Dh])."""
+    cfg, prec = decoder.config, decoder.precision
+    dtype = prec.compute_dtype
+    enc = prec.cast(encoder_out)
+    out = []
+    for lp in params["layers"]:
+        k = L.linear(lp["cross_attn"]["k"], enc, prec)
+        v = L.linear(lp["cross_attn"]["v"], enc, prec)
+        b, t, _ = k.shape
+        out.append({
+            "k": k.reshape(b, t, cfg.n_heads, cfg.head_dim).astype(dtype),
+            "v": v.reshape(b, t, cfg.n_heads, cfg.head_dim).astype(dtype),
+        })
+    return out
+
 
 class StreamingDecoder:
-    """Feed chunks of encoder features; carries transcript + decoder cache."""
+    """Feed chunks of encoder features; carries transcript + decoder cache.
+
+    ``beam_size=1`` is greedy; ``beam_size>1`` runs chunk-local beam search
+    with best-path commit at each chunk boundary. All decode work per chunk
+    is a single compiled dispatch.
+    """
 
     def __init__(self, decoder, params: dict, prefix_ids, max_len: int = 448,
-                 eos_id: int = 0, max_tokens_per_chunk: int = 64):
+                 eos_id: int = 0, max_tokens_per_chunk: int = 64,
+                 beam_size: int = 1, length_penalty: float = 1.0):
         self.decoder = decoder
         self.params = params
-        self.prefix_ids = list(prefix_ids)
+        self.prefix_ids = [int(t) for t in prefix_ids]
         self.max_len = max_len
         self.eos_id = eos_id
         self.max_tokens_per_chunk = max_tokens_per_chunk
-        self.tokens: list[int] = list(self.prefix_ids)
-        self._self_cache = None  # persists across chunks
+        self.beam_size = beam_size
+        self.length_penalty = length_penalty
+        self._fns: dict = {}
+        self.reset()
 
     def reset(self) -> None:
         self.tokens = list(self.prefix_ids)
-        self._self_cache = None
+        self._state = None  # (self_caches, tokens_buf [K, L], i) on device
 
-    def _fresh_cache(self, encoder_out: jnp.ndarray) -> list[dict]:
-        """New cross K/V for this chunk; keep (or create) the persistent
-        self-attention cache."""
-        cache = self.decoder.init_cache(self.params, encoder_out, max_len=self.max_len)
-        if self._self_cache is not None:
-            for layer, kept in zip(cache, self._self_cache):
-                layer["self"] = kept
-        return cache
+    # -- compiled chunk step -------------------------------------------------
 
-    def _replay_tokens(self, cache: list[dict], upto: int, encoder_valid=None):
-        """Prime a fresh cache with the already-emitted tokens (only needed
-        when the self cache was rebuilt)."""
-        for i in range(upto):
-            cur = jnp.asarray([[self.tokens[i]]], dtype=jnp.int32)
-            _, cache = self.decoder.decode_step(
-                self.params, cur, cache, jnp.int32(i), encoder_valid=encoder_valid)
-        return cache
+    def _init_state(self):
+        cfg = self.decoder.config
+        k, l_ = self.beam_size, self.max_len
+        dtype = self.decoder.precision.compute_dtype
+        tokens = np.full((k, l_), self.eos_id, np.int32)
+        tokens[:, : len(self.prefix_ids)] = self.prefix_ids
+        caches = [
+            {"k": jnp.zeros((k, l_, cfg.n_heads, cfg.head_dim), dtype),
+             "v": jnp.zeros((k, l_, cfg.n_heads, cfg.head_dim), dtype)}
+            for _ in range(cfg.decoder_layers)
+        ]
+        return caches, jnp.asarray(tokens), jnp.int32(len(self.prefix_ids) - 1)
+
+    def _chunk_fn(self, n_prime: int, has_valid: bool):
+        """Build (and cache) the jitted per-chunk decode function."""
+        key = (n_prime, has_valid)
+        if key in self._fns:
+            return self._fns[key]
+
+        decoder, eos = self.decoder, self.eos_id
+        k, l_, v = self.beam_size, self.max_len, decoder.config.vocab_size
+        n_steps = self.max_tokens_per_chunk
+        lp_pow = self.length_penalty
+
+        def fn(params, encoder_out, enc_valid, self_caches, tokens, i0):
+            cross = _cross_caches(decoder, params, encoder_out)
+            cache = [{"self": s, "cross": c} for s, c in zip(self_caches, cross)]
+
+            def prime_step(cache, i):
+                cur = jnp.broadcast_to(tokens[:1, i], (k,))[:, None]
+                _, cache = decoder.decode_step(
+                    params, cur, cache, i, encoder_valid=enc_valid)
+                return cache, None
+
+            if n_prime > 0:
+                cache, _ = jax.lax.scan(prime_step, cache, jnp.arange(n_prime))
+
+            scores = jnp.array([0.0] + [NEG_INF] * (k - 1), jnp.float32)
+            done = jnp.zeros((k,), bool)
+
+            def body(state, _):
+                i, tokens, scores, done, cache = state
+                done = done | (i > l_ - 2)  # no room to write at i+1
+                idx = jnp.minimum(i, l_ - 2)
+                cur = jax.lax.dynamic_slice(tokens, (0, idx), (k, 1))
+                logits, cache = decoder.decode_step(
+                    params, cur, cache, idx, encoder_valid=enc_valid)
+                logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+                eos_only = jnp.full((v,), NEG_INF).at[eos].set(0.0)
+                logp = jnp.where(done[:, None], eos_only[None, :], logp)
+
+                total = (scores[:, None] + logp).reshape(1, k * v)
+                top_scores, top_idx = jax.lax.top_k(total, k)  # [1, K]
+                beam_idx = top_idx // v
+                token_idx = (top_idx % v).astype(jnp.int32)[0]  # [K]
+
+                tokens = jnp.take_along_axis(tokens, beam_idx.T, axis=0)
+                done = jnp.take_along_axis(done[None], beam_idx, axis=1)[0]
+                cache = [
+                    {"self": _gather_beams(layer["self"], beam_idx, 1, k),
+                     "cross": layer["cross"]}
+                    for layer in cache
+                ]
+                token_idx = jnp.where(done, eos, token_idx)
+                prev = jax.lax.dynamic_slice(tokens, (0, idx + 1), (k, 1))[:, 0]
+                written = jnp.where(i > l_ - 2, prev, token_idx)
+                tokens = jax.lax.dynamic_update_slice(
+                    tokens, written[:, None], (0, idx + 1))
+                done = done | (token_idx == eos)
+                return (i + 1, tokens, top_scores[0], done, cache), None
+
+            state = (i0, tokens, scores, done, cache)
+            (i_end, tokens, scores, done, cache), _ = jax.lax.scan(
+                body, state, None, length=n_steps)
+
+            # Commit the best beam (chunk-local length-normalized score).
+            gen = jnp.sum(tokens != eos, axis=-1) - (i0 + 1)
+            norm = scores / jnp.power(
+                jnp.maximum(gen, 1).astype(jnp.float32), lp_pow)
+            best = jnp.argmax(norm)
+            bcast = jnp.full((1, k), best, jnp.int32)
+            tokens = jnp.broadcast_to(tokens[best][None], (k, l_))
+            self_caches = [
+                _gather_beams(layer["self"], bcast, 1, k) for layer in cache]
+
+            pos = jnp.arange(l_)
+            i_new = jnp.max(jnp.where(tokens[0] != eos, pos, 0))
+            i_new = jnp.maximum(i_new, i0)
+            return self_caches, tokens, i_new.astype(jnp.int32)
+
+        jitted = jax.jit(fn)
+        self._fns[key] = jitted
+        return jitted
+
+    # -- public API ----------------------------------------------------------
 
     def process_chunk(self, encoder_out: jnp.ndarray,
                       encoder_valid: jnp.ndarray | None = None) -> list[int]:
         """Decode against one chunk's encoder output ([1, T, D]); returns the
-        newly generated token ids (EOS terminates the chunk, not the
+        newly committed token ids (EOS terminates the chunk, not the
         stream)."""
-        cache = self._fresh_cache(encoder_out)
-        start = len(self.tokens)
-        if self._self_cache is None and start > 1:
-            cache = self._replay_tokens(cache, start - 1, encoder_valid)
-
-        new_tokens: list[int] = []
-        i = start - 1
-        while i < self.max_len - 1 and len(new_tokens) < self.max_tokens_per_chunk:
-            cur = jnp.asarray([[self.tokens[i]]], dtype=jnp.int32)
-            logits, cache = self.decoder.decode_step(
-                self.params, cur, cache, jnp.int32(i), encoder_valid=encoder_valid)
-            nxt = int(np.asarray(jnp.argmax(logits, axis=-1))[0])
-            if nxt == self.eos_id:
-                break
-            self.tokens.append(nxt)
-            new_tokens.append(nxt)
-            i += 1
-
-        self._self_cache = [layer["self"] for layer in cache]
+        first = self._state is None
+        if first:
+            self._state = self._init_state()
+        caches, tokens, i0 = self._state
+        n_prime = max(len(self.prefix_ids) - 1, 0) if first else 0
+        fn = self._chunk_fn(n_prime, encoder_valid is not None)
+        caches, tokens, i_new = fn(
+            self.params, encoder_out, encoder_valid, caches, tokens, i0)
+        self._state = (caches, tokens, i_new)
+        row = np.asarray(tokens[0])
+        start, end = int(i0) + 1, int(i_new) + 1
+        new_tokens = [int(t) for t in row[start:end]]
+        self.tokens.extend(new_tokens)
         return new_tokens
 
 
@@ -90,14 +214,17 @@ def transcribe_long_form(
     sample_rate: int = 16_000,
     max_len: int = 448,
     max_tokens_per_chunk: int = 64,
+    beam_size: int = 1,
+    length_penalty: float = 1.0,
     mel_fn=None,
 ) -> list[int]:
     """End-to-end long-form ASR: waveform of arbitrary length -> 30 s chunks
     -> log-mel -> encoder -> streaming decode with a persistent KV cache
-    (BASELINE config 5). Returns all generated token ids (prefix excluded)."""
-    import jax
-    import jax.numpy as jnp
+    (BASELINE config 5). Returns all generated token ids (prefix excluded).
 
+    Per chunk: one compiled encoder dispatch + one compiled decode dispatch
+    (the whole token loop runs on-device under ``lax.scan``).
+    """
     from mocov2_whisper_flamingo_tpu.ops.mel import whisper_log_mel
 
     mel_fn = mel_fn or (lambda wav: whisper_log_mel(
@@ -107,12 +234,16 @@ def transcribe_long_form(
     n_chunks = max(-(-audio.shape[-1] // chunk_samples), 1)
 
     encode = jax.jit(encoder.apply)
-    stream = StreamingDecoder(decoder, decoder_params, prefix_ids,
-                              max_len=max_len, eos_id=eos_id,
-                              max_tokens_per_chunk=max_tokens_per_chunk)
+    stream = StreamingDecoder(
+        decoder, decoder_params, prefix_ids, max_len=max_len, eos_id=eos_id,
+        max_tokens_per_chunk=max_tokens_per_chunk, beam_size=beam_size,
+        length_penalty=length_penalty)
     out: list[int] = []
     for i in range(n_chunks):
         chunk = audio[..., i * chunk_samples : (i + 1) * chunk_samples]
+        pad = chunk_samples - chunk.shape[-1]
+        if pad > 0:  # keep mel/encoder shapes static across chunks
+            chunk = jnp.pad(chunk, [(0, 0)] * (chunk.ndim - 1) + [(0, pad)])
         features = encode(encoder_params, mel_fn(chunk)[None])
         out.extend(stream.process_chunk(features))
     return out

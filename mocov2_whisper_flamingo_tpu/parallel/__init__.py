@@ -14,5 +14,7 @@ from mocov2_whisper_flamingo_tpu.parallel.mesh import (  # noqa: F401
     param_sharding,
     shard_params,
     shard_batch,
+    put_host_local_batch,
+    initialize_distributed,
     replicated,
 )

@@ -21,6 +21,7 @@ import re
 from typing import Any
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
@@ -34,17 +35,30 @@ def initialize_distributed(coordinator_address: str | None = None,
     """Multi-host bring-up: ``jax.distributed.initialize`` (auto-detected on
     TPU pods; explicit args for manual launches). The reference's analog is
     Lightning's hidden NCCL process-group init inside DDPStrategy
-    (reference: train.py:319). No-op when already initialized or single-host.
-    """
+    (reference: train.py:319).
+
+    No-op when already initialized, or when auto-detection finds no cluster
+    (plain single-host run). A FAILED bring-up with explicit cluster args
+    raises — degrading silently to single-host would train on 1/N of the
+    data while reporting success."""
     import jax
 
+    explicit = (coordinator_address is not None or num_processes is not None
+                or process_id is not None)
     try:
         jax.distributed.initialize(
             coordinator_address=coordinator_address,
             num_processes=num_processes,
             process_id=process_id)
-    except (RuntimeError, ValueError):
-        pass  # already initialized or single-process environment
+    except RuntimeError as e:
+        if "already initialized" in str(e).lower():
+            return
+        raise
+    except ValueError:
+        # Auto-detection found no cluster environment variables: normal for
+        # single-host runs. With explicit args this is a misconfiguration.
+        if explicit:
+            raise
 
 
 def make_mesh(n_data: int = -1, n_model: int = 1, devices=None) -> Mesh:
@@ -125,17 +139,50 @@ def replicated(mesh: Mesh, tree: Any) -> Any:
     return jax.tree.map(lambda _: NamedSharding(mesh, P()), tree)
 
 
-def batch_sharding(mesh: Mesh, tree: Any) -> Any:
+def batch_sharding(mesh: Mesh, tree: Any, per_host: bool = False) -> Any:
     """Shard the leading (batch) axis of every array leaf over the data
-    axis; scalars/strings replicate."""
+    axis; scalars/strings replicate.
+
+    ``per_host=True``: leaves are HOST-LOCAL shards (multi-controller SPMD —
+    each host loads its own slice via ``ShardedSampler``); divisibility is
+    checked against this host's share of the data axis, and the resulting
+    specs are meant for ``jax.make_array_from_process_local_data``."""
+    div = mesh.shape[DATA_AXIS]
+    if per_host:
+        n_proc = jax.process_count()
+        if div % n_proc:
+            raise ValueError(
+                f"data axis {div} not divisible by {n_proc} processes")
+        div //= n_proc
 
     def resolve(leaf):
         ndim = getattr(leaf, "ndim", 0)
-        if ndim >= 1 and leaf.shape[0] % mesh.shape[DATA_AXIS] == 0:
+        if ndim >= 1 and leaf.shape[0] % div == 0:
             return NamedSharding(mesh, P(DATA_AXIS))
         return NamedSharding(mesh, P())
 
     return jax.tree.map(resolve, tree)
+
+
+def put_host_local_batch(mesh: Mesh, batch: Any) -> Any:
+    """Assemble global device arrays from host-local batch shards.
+
+    Single-process: plain sharded ``device_put``. Multi-process: each host
+    contributes its rows of the global batch (batch rows laid out
+    process-major along the data axis, matching ``ShardedSampler``'s
+    per-host batch assignment);
+    ``jax.make_array_from_process_local_data`` builds the jax.Array without
+    any cross-host transfer. Host-local ``device_put`` against a global
+    NamedSharding here would be silently wrong under ``process_count()>1``
+    (every host would claim the full batch)."""
+    multi = jax.process_count() > 1
+    shardings = batch_sharding(mesh, batch, per_host=multi)
+    if not multi:
+        return jax.tree.map(
+            lambda x, s: jax.device_put(jnp.asarray(x), s), batch, shardings)
+    return jax.tree.map(
+        lambda x, s: jax.make_array_from_process_local_data(s, np.asarray(x)),
+        batch, shardings)
 
 
 def shard_params(mesh: Mesh, params: Any, rules=DEFAULT_PARAM_RULES) -> Any:

@@ -34,7 +34,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from mocov2_whisper_flamingo_tpu.parallel import (
-    batch_sharding, make_mesh, param_sharding)
+    make_mesh, param_sharding, put_host_local_batch)
 from mocov2_whisper_flamingo_tpu.training.optim import make_optimizer, trainable_mask_for
 from mocov2_whisper_flamingo_tpu.training.task import AVSRTask
 from mocov2_whisper_flamingo_tpu.utils.tb_writer import SummaryWriter
@@ -192,10 +192,14 @@ class Trainer:
         return params, opt_state
 
     def _put_batch(self, batch: dict) -> dict:
+        """Host batch -> global device arrays. Multi-host correct: each
+        process contributes its local rows via
+        ``jax.make_array_from_process_local_data`` (a host-local device_put
+        against the global sharding would silently duplicate data under
+        ``process_count()>1`` — the multi-host analog of the reference's
+        DistributedSamplerWrapper + DDP, data_module.py:84-106)."""
         arrays = {k: v for k, v in batch.items() if k != "target_text"}
-        shardings = batch_sharding(self.mesh, arrays)
-        placed = jax.tree.map(
-            lambda x, s: jax.device_put(jnp.asarray(x), s), arrays, shardings)
+        placed = put_host_local_batch(self.mesh, arrays)
         placed["target_text"] = batch.get("target_text", [])
         return placed
 

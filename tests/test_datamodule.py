@@ -101,6 +101,38 @@ def test_by_frame_count_sampler_buckets(dataset_root):
     assert len(batches2) >= 1
 
 
+def test_quantized_batch_sampler_sizes():
+    from mocov2_whisper_flamingo_tpu.datamodule.samplers import QuantizedBatchSampler
+
+    class FakeSampler(list):
+        def set_epoch(self, e):
+            pass
+
+    base = FakeSampler([np.arange(7), np.arange(7, 12), np.arange(12, 16)])
+    q = QuantizedBatchSampler(base, max_batch_size=4)
+    pieces = list(q)
+    # every piece size is a power of two <= 4; no sample dropped or reordered
+    assert all(len(p) in (1, 2, 4) for p in pieces)
+    assert [int(x) for p in pieces for x in p] == list(range(16))
+    assert len(q) == len(pieces)
+
+
+def test_collate_target_len_buckets():
+    items = [
+        {"target_ids": np.arange(1, 6, dtype=np.int32), "target_text": "a",
+         "target_lengths": np.int32(5), "audio": np.zeros((4, 2)),
+         "audio_mask": np.ones(4, bool), "audio_lengths": np.int32(4),
+         "video": np.zeros((2, 3, 4, 4)), "video_mask": np.ones(2, bool),
+         "video_lengths": np.int32(2)}
+        for _ in range(2)
+    ]
+    out = collate_fn(items, target_len_buckets=(8, 16))
+    assert out["target_ids"].shape == (2, 8)  # rounded up to the 8 bucket
+    assert (out["target_ids"][:, 5:] == 0).all()  # quirk Q3 pad value kept
+    with pytest.raises(ValueError):
+        collate_fn(items, target_len_buckets=(2, 4))
+
+
 def test_sharded_sampler_covers_all():
     class FakeSampler(list):
         def set_epoch(self, e):

@@ -148,6 +148,62 @@ def test_streaming_two_chunks(setup):
     assert sd2.tokens == PREFIX
 
 
+def test_streaming_single_chunk_matches_greedy(setup):
+    """On short input (one chunk, ample budget) the streaming path must
+    reproduce the single-pass greedy decode exactly."""
+    dec, params, enc_out = setup
+    chunk = enc_out[:1]
+    ref = np.asarray(greedy_decode(dec, params, chunk, PREFIX, 16, EOS))[0]
+
+    sd = StreamingDecoder(dec, params, PREFIX, max_len=16, eos_id=EOS,
+                          max_tokens_per_chunk=16 - len(PREFIX))
+    out = sd.process_chunk(chunk)
+
+    def trim(seq):
+        kept = list(seq[: len(PREFIX)])
+        for t in seq[len(PREFIX):]:
+            if t == EOS:
+                break
+            kept.append(int(t))
+        return kept
+
+    assert sd.tokens == trim(ref)
+    assert out == trim(ref)[len(PREFIX):]
+
+
+def test_streaming_single_chunk_matches_beam(setup):
+    """beam_size>1 streaming on one chunk == batched beam_search best beam."""
+    dec, params, enc_out = setup
+    chunk = enc_out[:1]
+    res = beam_search(dec, params, chunk, PREFIX, beam_size=3, max_len=16,
+                      eos_id=EOS, length_penalty=1.0)
+    best = np.asarray(res.sequences)[0, 0]
+
+    sd = StreamingDecoder(dec, params, PREFIX, max_len=16, eos_id=EOS,
+                          max_tokens_per_chunk=16 - len(PREFIX), beam_size=3,
+                          length_penalty=1.0)
+    out = sd.process_chunk(chunk)
+    gen = [int(t) for t in best[len(PREFIX):] if t != EOS]
+    assert out == gen
+
+
+def test_streaming_beam_two_chunks(setup):
+    """Beam streaming persists the committed hypothesis across chunks."""
+    dec, params, enc_out = setup
+    rng = np.random.default_rng(2)
+    chunk_a = enc_out[:1]
+    chunk_b = jnp.asarray(rng.standard_normal((1, 16, 48)).astype(np.float32))
+
+    sd = StreamingDecoder(dec, params, PREFIX, max_len=32, eos_id=EOS,
+                          max_tokens_per_chunk=5, beam_size=4)
+    out_a = sd.process_chunk(chunk_a)
+    n_after_a = len(sd.tokens)
+    out_b = sd.process_chunk(chunk_b)
+    assert len(sd.tokens) == n_after_a + len(out_b)
+    assert sd.tokens[: len(PREFIX)] == PREFIX
+    assert all(t != EOS for t in out_a + out_b)
+
+
 def test_transcribe_long_form(setup, rng):
     """70 s of audio -> 3 chunks -> continuous transcript through the
     persistent-cache streaming path (BASELINE config 5 shape)."""
