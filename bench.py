@@ -42,15 +42,28 @@ STREAM_TOKENS_PER_CHUNK = 40
 
 
 def _make_batch(rng, b: int):
+    """Raw inputs: mel + RAW uint8 mouth-ROI frames (88x88). Video
+    preprocessing (resize 64 + ImageNet normalize, the reference val path,
+    transforms.py:93-95) runs ON DEVICE inside the measured jit via
+    ops.video.eval_video_pipeline — the bench covers the full inference
+    path from decoded frames."""
     import jax.numpy as jnp
 
     return (
         jnp.asarray(rng.standard_normal((b, 3000, 80)), jnp.float32),
         jnp.ones((b, 3000), bool),
-        jnp.asarray(rng.standard_normal((b, T_VIDEO, 3, 64, 64)), jnp.float32),
+        jnp.asarray(rng.integers(0, 255, (b, T_VIDEO, 3, 88, 88)), jnp.uint8),
         jnp.ones((b, T_VIDEO), bool),
         jnp.full((b,), T_VIDEO, jnp.int32),
     )
+
+
+def _preprocess(batch):
+    from mocov2_whisper_flamingo_tpu.ops.video import eval_video_pipeline
+
+    audio, audio_mask, video_u8, video_mask, video_len = batch
+    video = eval_video_pipeline(video_u8, resize=64)
+    return (audio, audio_mask, video, video_mask, video_len)
 
 
 def _build(whisper_name: str, backend=None):
@@ -96,9 +109,9 @@ def bench_size(whisper_name: str, b: int = B, iters: int = 5):
 
     def make_fns(net):
         decode = jax.jit(lambda p, bt: net.beam(
-            p, bt, PREFIX, beam_size=BEAM, max_len=MAX_TOKENS,
+            p, _preprocess(bt), PREFIX, beam_size=BEAM, max_len=MAX_TOKENS,
             eos_id=EOS).sequences)
-        encode = jax.jit(lambda p, bt: net.encode(p, bt))
+        encode = jax.jit(lambda p, bt: net.encode(p, _preprocess(bt)))
         return decode, encode
 
     decode, encode = make_fns(net)
@@ -145,7 +158,7 @@ def bench_streaming(net, params) -> float:
     from mocov2_whisper_flamingo_tpu.decode.streaming import StreamingDecoder
 
     rng = np.random.default_rng(1)
-    encode = jax.jit(lambda p, bt: net.encode(p, bt))
+    encode = jax.jit(lambda p, bt: net.encode(p, _preprocess(bt)))
 
     stream = StreamingDecoder(
         net.decoder, net._decode_params(params), PREFIX, max_len=448,
@@ -161,6 +174,7 @@ def bench_streaming(net, params) -> float:
     def one_chunk(i):
         feats, valid = encode(params, staged[i % len(staged)])
         stream.process_chunk(feats, encoder_valid=valid)
+    # (encode includes the on-device video preprocessing via _preprocess)
 
     one_chunk(0)  # compiles encode + first-chunk (priming) decode
     one_chunk(1)  # compiles the steady-state decode variant
@@ -196,6 +210,22 @@ def main() -> None:
         name = f"whisper-{sizes[0]}"
         result = r  # noqa: F821
 
+    throughput = None
+    if "small" in sizes:
+        # Serving-throughput bucket: the decode step is op-count-bound
+        # (~640 small kernels/step, profiled in tools/profile_decode.py),
+        # so per-step cost is nearly flat in batch — wider buckets multiply
+        # realtime throughput at the same latency.
+        try:
+            r16 = bench_size("whisper-small", b=16, iters=3)
+            throughput = r16["rtf"]
+            print(f"[bench] whisper-small B=16 serving bucket: "
+                  f"rtf={throughput:.1f}x "
+                  f"decode={r16['decode_ms_per_step']:.2f}ms/step",
+                  file=sys.stderr)
+        except Exception as e:
+            print(f"[bench] B=16 bucket failed: {e!r}", file=sys.stderr)
+
     streaming_rtf = None
     if not args.no_streaming:
         try:
@@ -214,6 +244,7 @@ def main() -> None:
         "decode_ms_per_step": round(result["decode_ms_per_step"], 3),
         "decode_mfu_pct": result["mfu_pct"] and round(result["mfu_pct"], 2),
         "streaming_rtf": streaming_rtf and round(streaming_rtf, 2),
+        "throughput_b16_rtf": throughput and round(throughput, 2),
     }))
 
 

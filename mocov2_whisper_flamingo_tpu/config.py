@@ -119,6 +119,9 @@ TRAIN_DEFAULTS = dict(
     # remap collate's 0-padding to -100 before the CE (fixes quirk Q3; off
     # by default for parity with the reference numerics)
     pad_to_ignore=False,
+    # "ctc_ce" (committed trainer, reference train.py) or "feature_mse"
+    # (notebook-era feature-alignment pretraining, reference train.ipynb).
+    loss_mode="ctc_ce",
 )
 
 AUGMENTATION_DEFAULTS = dict(

@@ -1,24 +1,39 @@
-"""KV-cached beam search under jit.
+"""KV-cached beam search under jit, with hypothesis banking.
 
 Hard part #2 from SURVEY.md §7: the whole search is compiled — static
 [B, K, L] shapes, beams flattened into the batch for the decoder step, and
-EOS masking instead of early Python exits.
+EOS masking instead of early Python exits. The reference has no beam search
+to mirror (reference: train.py:130-141 argmaxes a linear head; its
+``beam_width`` config key is dead, quirk Q4), so the semantics implemented
+here are the *standard* seq2seq beam semantics (HF ``GenerationMixin``
+beam search, which is also how OpenAI Whisper decodes), verified token-exact
+against HF ``generate`` in tests/test_decode_oracle.py:
 
-Design notes (TPU, each measured — see docs/DESIGN.md):
+- each step expands the K live beams to the top **2K** candidates;
+- a candidate whose new token is EOS is **banked** into a K-slot hypothesis
+  pool (only candidates ranked < K may bank), scored by
+  ``sum_logprob / gen_len**length_penalty`` with gen_len counting the EOS;
+- the K best non-finished candidates continue as live beams — finished
+  hypotheses do NOT occupy live slots;
+- at the last step every live candidate is force-banked (the HF
+  max-length stopping criterion / ``finalize`` analog);
+- ``early_stopping=True`` freezes the pool once it holds K hypotheses;
+  ``early_stopping=False`` (default) stops banking once the best
+  attainable live score can no longer beat the worst pooled score (HF's
+  heuristic, transformers generation/utils.py ``_check_early_stop_heuristic``).
+
+TPU design notes (each measured — see docs/DESIGN.md):
 - the decode step runs on [B*K] rows so the MXU sees one batched matmul per
   projection rather than K small ones;
-- the loop is a fixed-trip-count ``lax.scan`` (finished beams no-op via
-  masking); ``while_loop``/``cond`` serialize with ~200 ms/step host
-  round-trips on remote-execution backends (``early_exit=True`` restores the
-  dynamic loop where that's profitable);
-- beam reordering is a one-hot K x K matmul, not ``take_along_axis`` — the
-  general gather lowers ~100x slower on large KV caches;
+- the loop is a fixed-trip-count ``lax.scan``; ``while_loop``/``cond``
+  serialize with ~200 ms/step host round-trips on remote-execution backends;
+  once a batch stops banking the extra steps are masked no-ops;
+- KV-cache beam reordering is a one-hot K x K matmul, not
+  ``take_along_axis`` — the general gather lowers ~100x slower on large KV
+  caches (token buffers are tiny and use the plain gather);
 - only the SELF-attention caches are reordered; cross K/V rows are
-  beam-invariant by construction (computed from the repeated encoder
-  output) and the cross cache is computed once per utterance;
-- scores use the standard log-sum trick with finished-beam freezing: a done
-  beam only proposes EOS at zero incremental cost, so its score is stable
-  and comparable under the final length normalization.
+  beam-invariant by construction (computed from the un-repeated encoder
+  output) and the cross cache is computed once per utterance.
 """
 
 from __future__ import annotations
@@ -33,29 +48,30 @@ NEG_INF = -1e30
 
 @dataclasses.dataclass
 class BeamResult:
-    sequences: jnp.ndarray  # [B, K, L] token ids, best beam first
+    sequences: jnp.ndarray  # [B, K, L] token ids, best hypothesis first
     scores: jnp.ndarray     # [B, K] length-normalized log probs
 
 
 def _gather_beams(tree, beam_idx: jnp.ndarray, b: int, k: int):
     """Reorder the leading [B*K] axis of every leaf by per-batch beam index
-    [B, K].
+    [B, K_new] (values in [0, K)).
 
-    Implemented as a one-hot matmul (perm [B, K, K] against the beam axis)
-    rather than take_along_axis: general gathers lower poorly on TPU for
-    large operands (measured ~200ms/step on the KV caches), while the K x K
-    permutation contraction is MXU work XLA handles at full speed.
+    Implemented as a one-hot matmul (perm [B, K_new, K] against the beam
+    axis) rather than take_along_axis: general gathers lower poorly on TPU
+    for large operands (measured ~200ms/step on the KV caches), while the
+    small permutation contraction is MXU work XLA handles at full speed.
     """
-    perm = (beam_idx[..., None] == jnp.arange(k)[None, None, :])  # [B, K_new, K_old]
+    k_new = beam_idx.shape[1]
+    perm = (beam_idx[..., None] == jnp.arange(k)[None, None, :])  # [B, K_new, K]
 
     def gather(leaf):
-        shaped = leaf.reshape(b, k, -1)  # [B, K_old, F]
+        shaped = leaf.reshape(b, k, -1)  # [B, K, F]
         p = perm.astype(leaf.dtype if jnp.issubdtype(leaf.dtype, jnp.floating)
                         else jnp.float32)
         out = jax.lax.dot_general(
             p, shaped.astype(p.dtype), (((2,), (1,)), ((0,), (0,))),
             preferred_element_type=p.dtype)  # [B, K_new, F]
-        return out.astype(leaf.dtype).reshape(b * k, *leaf.shape[1:])
+        return out.astype(leaf.dtype).reshape(b * k_new, *leaf.shape[1:])
 
     return jax.tree.map(gather, tree)
 
@@ -70,14 +86,18 @@ def beam_search(
     eos_id: int = 0,
     length_penalty: float = 1.0,
     encoder_valid: jnp.ndarray | None = None,
-    early_exit: bool = False,
+    early_stopping: bool = False,
 ) -> BeamResult:
-    """Batched beam search. Returns sequences sorted best-first per example."""
+    """Batched beam search; returns the K best finished hypotheses per
+    example, best first. EOS-terminated hypotheses include their EOS; the
+    token buffer is EOS-filled beyond each sequence's end."""
     b = encoder_out.shape[0]
     k = beam_size
+    k2 = 2 * k
     prefix = jnp.asarray(prefix_ids, dtype=jnp.int32)
     n_prefix = int(prefix.shape[0])
     v = decoder.config.vocab_size
+    lp = float(length_penalty)
 
     # Self caches get B*K rows; the cross K/V stays B-major (beam rows would
     # be identical copies) — each example's cross cache is computed and read
@@ -85,12 +105,14 @@ def beam_search(
     enc_valid = encoder_valid
     cache = decoder.init_cache(params, encoder_out, max_len=max_len, beam_groups=k)
 
-    tokens = jnp.full((b, k, max_len), eos_id, dtype=jnp.int32)
-    tokens = tokens.at[:, :, :n_prefix].set(prefix[None, None, :])
-    # Beam 0 active, others at -inf so the first expansion draws K distinct
-    # continuations of the single prefix.
-    scores = jnp.tile(jnp.array([0.0] + [NEG_INF] * (k - 1))[None], (b, 1))
-    done = jnp.zeros((b, k), bool)
+    run_tokens = jnp.full((b, k, max_len), eos_id, dtype=jnp.int32)
+    run_tokens = run_tokens.at[:, :, :n_prefix].set(prefix[None, None, :])
+    # Live beam 0 active, others at -inf so the first expansion draws K
+    # distinct continuations of the single prefix.
+    run_scores = jnp.tile(jnp.array([0.0] + [NEG_INF] * (k - 1))[None], (b, 1))
+    pool_tokens = jnp.full((b, k, max_len), eos_id, dtype=jnp.int32)
+    pool_scores = jnp.full((b, k), NEG_INF)
+    heur_ok = jnp.ones((b,), bool)  # "can the pool still improve?"
 
     # Teacher-force the prefix through the cache (all beams identical here).
     def prefix_step(carry, i):
@@ -102,76 +124,63 @@ def beam_search(
     if n_prefix > 1:
         cache, _ = jax.lax.scan(prefix_step, cache, jnp.arange(n_prefix - 1))
 
-    def cond(state):
-        i, tokens, scores, done, cache = state
-        return (i < max_len - 1) & ~jnp.all(done)
-
-    def body(state):
-        i, tokens, scores, done, cache = state
-        del state
+    def body(state, _):
+        i, run_tokens, run_scores, pool_tokens, pool_scores, heur_ok, cache = state
         cur = jax.lax.dynamic_slice_in_dim(
-            tokens.reshape(b * k, max_len), i, 1, axis=1)
+            run_tokens.reshape(b * k, max_len), i, 1, axis=1)
         logits, cache = decoder.decode_step(params, cur, cache, i,
                                             encoder_valid=enc_valid)
-        logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)  # [B*K, V]
-        logp = logp.reshape(b, k, v)
+        logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+        total = (run_scores[..., None] + logp.reshape(b, k, v)).reshape(b, k * v)
 
-        # Finished beams: only EOS, at zero cost (score frozen).
-        eos_only = jnp.full((v,), NEG_INF).at[eos_id].set(0.0)
-        logp = jnp.where(done[..., None], eos_only[None, None, :], logp)
+        s2k, idx2k = jax.lax.top_k(total, k2)  # [B, 2K]
+        beam2k = idx2k // v
+        tok2k = (idx2k % v).astype(jnp.int32)
+        # A candidate is finished when it just emitted EOS, or when this step
+        # fills the last buffer slot (max-length criterion: force-bank all).
+        hits = (tok2k == eos_id) | (i + 2 >= max_len)
 
-        total = scores[..., None] + logp  # [B, K, V]
-        flat = total.reshape(b, k * v)
-        top_scores, top_idx = jax.lax.top_k(flat, k)  # [B, K]
-        beam_idx = top_idx // v
-        token_idx = (top_idx % v).astype(jnp.int32)
+        cand_tokens = jnp.take_along_axis(run_tokens, beam2k[..., None], axis=1)
+        cand_tokens = jax.lax.dynamic_update_slice(
+            cand_tokens, tok2k[..., None], (0, 0, i + 1))
 
-        tokens = jnp.take_along_axis(tokens, beam_idx[..., None], axis=1)
-        done = jnp.take_along_axis(done, beam_idx, axis=1)
-        # Only the SELF-attention caches depend on beam history; the cross
-        # K/V rows are identical across beams of an example (computed from
-        # the repeated encoder output), so reordering them is a mathematical
-        # no-op — skipping it removes ~70% of the per-step gather traffic.
+        # ---- bank finished candidates into the hypothesis pool ----
+        gen_len = (i + 2 - n_prefix).astype(jnp.float32)
+        bank = s2k / jnp.power(gen_len, lp)
+        bank_ok = hits & (jnp.arange(k2) < k)[None, :]  # only top-K ranks bank
+        pool_full = jnp.all(pool_scores > NEG_INF / 2, axis=-1)
+        if early_stopping:
+            bank_ok &= ~pool_full[:, None]  # pool frozen once it holds K
+        bank_ok &= heur_ok[:, None]
+        bank = jnp.where(bank_ok, bank, NEG_INF)
+        merged_scores = jnp.concatenate([pool_scores, bank], axis=1)  # [B, 3K]
+        merged_tokens = jnp.concatenate([pool_tokens, cand_tokens], axis=1)
+        pool_scores, pool_idx = jax.lax.top_k(merged_scores, k)
+        pool_tokens = jnp.take_along_axis(merged_tokens, pool_idx[..., None], axis=1)
+
+        # ---- select the K best non-finished candidates to continue ----
+        run_s2k = s2k + hits * NEG_INF
+        run_scores, sel = jax.lax.top_k(run_s2k, k)
+        sel_beam = jnp.take_along_axis(beam2k, sel, axis=1)  # [B, K] old beam
+        run_tokens = jnp.take_along_axis(cand_tokens, sel[..., None], axis=1)
         cache = [
-            {"self": _gather_beams(layer["self"], beam_idx, b, k),
+            {"self": _gather_beams(layer["self"], sel_beam, b, k),
              "cross": layer["cross"]}
             for layer in cache
         ]
 
-        token_idx = jnp.where(done, eos_id, token_idx)
-        tokens = jax.lax.dynamic_update_slice(
-            tokens, token_idx[..., None], (0, 0, i + 1))
-        done = done | (token_idx == eos_id)
-        return (i + 1, tokens, top_scores, done, cache)
+        # ---- early-stop heuristic (pool can no longer improve) ----
+        best_possible = run_scores[:, 0] / jnp.power(gen_len, lp)
+        pool_done = jnp.all(pool_scores > NEG_INF / 2, axis=-1)
+        worst = jnp.min(pool_scores, axis=-1)
+        heur_ok = heur_ok & (~pool_done | (best_possible > worst))
 
-    state = (jnp.int32(n_prefix - 1), tokens, scores, done, cache)
-    if early_exit:
-        # Dynamic trip count: stops as soon as every beam is finished. NOTE:
-        # some remote-execution backends (e.g. the axon tunnel) serialize
-        # while_loop iterations with host round-trips — prefer the scan form
-        # there (default).
-        _, tokens, scores, done, _ = jax.lax.while_loop(cond, body, state)
-    else:
-        # Fixed trip count under lax.scan: one device dispatch, fully
-        # pipelined. No data-dependent control flow at all — finished beams
-        # no-op via masking (done beams only propose EOS at zero cost), so
-        # running the body past all-done is a (correct) no-op. This matters
-        # on remote-execution backends where while_loop/cond serialize with
-        # host round-trips (~200ms/step measured through the axon tunnel).
-        def scan_body(state, _):
-            return body(state), None
+        return (i + 1, run_tokens, run_scores, pool_tokens, pool_scores,
+                heur_ok, cache), None
 
-        state, _ = jax.lax.scan(scan_body, state, None,
-                                length=max_len - n_prefix)
-        _, tokens, scores, done, _ = state
-
-    # Length-normalized scores (Whisper-style avg log prob): count generated
-    # tokens (exclude the prefix; include the terminating EOS position).
-    gen_mask = (tokens != eos_id)
-    gen_len = jnp.maximum(jnp.sum(gen_mask, axis=-1) - n_prefix + 1, 1)
-    norm_scores = scores / jnp.power(gen_len.astype(jnp.float32), length_penalty)
-
-    order = jnp.argsort(-norm_scores, axis=-1)
-    tokens = jnp.take_along_axis(tokens, order[..., None], axis=1)
-    norm_scores = jnp.take_along_axis(norm_scores, order, axis=1)
-    return BeamResult(sequences=tokens, scores=norm_scores)
+    state = (jnp.int32(n_prefix - 1), run_tokens, run_scores, pool_tokens,
+             pool_scores, heur_ok, cache)
+    state, _ = jax.lax.scan(body, state, None, length=max_len - n_prefix)
+    _, _, _, pool_tokens, pool_scores, _, _ = state
+    # lax.top_k keeps the pool sorted best-first.
+    return BeamResult(sequences=pool_tokens, scores=pool_scores)

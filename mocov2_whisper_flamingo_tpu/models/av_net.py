@@ -89,6 +89,16 @@ class AVNet:
         # reference: models/utils.py:8-28 uses max_len 5000).
         self._pe = jnp.asarray(L.interleaved_position_encoding(max(pe_max_len, 5000), d_model))
 
+    def set_attention_backend(self, backend: str) -> None:
+        """Switch the attention backend on every submodule. Used to fence
+        Pallas kernels off under tensor parallelism: GSPMD treats
+        ``pallas_call`` as an opaque custom call and replicates its operands,
+        so a model-axis-sharded mesh must run the XLA attention path (which
+        shards head-parallel for free)."""
+        self.backend = backend
+        self.whisper_encoder.backend = backend
+        self.fusion.backend = backend
+
     # -- params ---------------------------------------------------------------
 
     def init(self, key: jax.Array) -> dict:
@@ -200,5 +210,43 @@ class AVNet:
         if return_gates:
             return logits, gates
         return logits
+
+    def forward_features(
+        self,
+        params: dict,
+        input_batch: tuple,
+        train: bool = False,
+        rng: jax.Array | None = None,
+    ) -> tuple:
+        """Pre-decoder fused features and the audio-branch features, both
+        [B, T', D] — the surface the notebook-era feature-alignment trainer
+        consumed (reference: train.ipynb cell 2 computes an MSE between the
+        model's feature output and the audio stream; see
+        training/task.py FeatureAlign notes for the shape reconciliation)."""
+        audio, audio_mask, video, video_mask, video_len = input_batch
+        prec = self.precision
+
+        mel = (jnp.swapaxes(audio, 1, 2)
+               if audio.shape[1] == 3000 and audio.shape[2] == 80 else audio)
+        whisper_out = jax.lax.stop_gradient(
+            self.whisper_encoder.apply(params["whisper_encoder"], mel))
+        audio_feat = L.layer_norm(
+            params["audio_ln"], L.linear(params["audio_proj"], prec.cast(whisper_out), prec))
+        audio_feat = audio_feat + prec.cast(self._pe[: audio_feat.shape[1]])
+
+        video_raw = jax.lax.stop_gradient(self.visual_frontend.apply(
+            params["visual_frontend"], prec.cast(video), video_len))
+        video_feat = L.layer_norm(
+            params["video_ln"], L.linear(params["video_proj"], video_raw, prec))
+        video_feat = video_feat + prec.cast(self._pe[: video_feat.shape[1]])
+
+        min_len = min(audio_feat.shape[1], video_feat.shape[1])
+        audio_feat = audio_feat[:, :min_len]
+        video_feat = video_feat[:, :min_len]
+        video_len = jnp.minimum(video_len, min_len)
+        video_valid = jnp.arange(min_len)[None, :] < video_len[:, None]
+        fused = self.fusion.apply(params["fusion"], audio_feat, video_feat,
+                                  video_valid, train=train, rng=rng)
+        return fused + audio_feat + video_feat, audio_feat
 
     __call__ = forward

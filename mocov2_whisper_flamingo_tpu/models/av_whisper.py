@@ -59,6 +59,11 @@ class AVWhisperNet:
         self.d_model = modelargs[0]
         self.precision = precision
 
+    def set_attention_backend(self, backend: str) -> None:
+        """See AVNet.set_attention_backend (TP x Pallas fence)."""
+        self.trunk.set_attention_backend(backend)
+        self.decoder.backend = backend
+
     def init(self, key: jax.Array) -> dict:
         k1, k2, k3 = jax.random.split(key, 3)
         return {

@@ -18,11 +18,11 @@ Mask convention: this module takes **True = valid** key masks; the AVNet
 boundary converts from the reference's torch key_padding_mask (True = pad,
 reference: av_net.py:103,111-114).
 
-Documented deviation: the reference also drops out the attention
-probabilities during training (nn.MultiheadAttention(dropout=0.1),
-gate_cross_attention.py:16); here dropout applies to the FF branch only —
-attention-prob dropout composes poorly with fused attention kernels and has
-no effect on eval/decode numerics.
+Attention-prob dropout (nn.MultiheadAttention(dropout=0.1), reference:
+gate_cross_attention.py:16) is implemented exactly on the XLA path; the
+Pallas flash kernel streams probabilities block-by-block and never
+materializes them, so train-mode layers with dropout > 0 automatically fall
+back to the XLA attention (eval/decode numerics are unaffected either way).
 """
 
 from __future__ import annotations
@@ -107,7 +107,13 @@ class GatedCrossModalFusion:
         gates = {}
 
         def layer_step(lp, x, xa, video_valid, sub_rng):
-            if self.backend == "pallas":
+            attn_rng = ff_rng = None
+            if sub_rng is not None:
+                attn_rng, ff_rng = jax.random.split(sub_rng)
+            attn_dropout = train and attn_rng is not None and self.dropout_rate > 0
+            # The fused Pallas kernel cannot drop out attention probs (they
+            # are never materialized); train-mode fusion falls back to XLA.
+            if self.backend == "pallas" and not attn_dropout:
                 # Fully-fused gated attention: LN -> q-proj -> MHA ->
                 # out-proj -> tanh-gate -> residual in ONE Pallas kernel
                 # (the K/V projections of the x-independent video stream are
@@ -127,16 +133,19 @@ class GatedCrossModalFusion:
                 q = L.linear(lp["attn"]["q"], q_in, prec).reshape(b, tq, h, dh)
                 k = L.linear(lp["attn"]["k"], xa, prec).reshape(b, tk, h, dh)
                 v = L.linear(lp["attn"]["v"], xa, prec).reshape(b, tk, h, dh)
-                attn = multi_head_attention(q, k, v, kv_valid=video_valid,
-                                            backend=self.backend)
+                attn = multi_head_attention(
+                    q, k, v, kv_valid=video_valid,
+                    backend="xla" if attn_dropout else self.backend,
+                    dropout_rate=self.dropout_rate if attn_dropout else 0.0,
+                    dropout_rng=attn_rng if attn_dropout else None)
                 attn = L.linear(lp["attn"]["out"], attn.reshape(b, tq, self.d_model), prec)
                 attn_gate = jnp.tanh(lp["attn_gate"]).astype(attn.dtype)
                 x = x + attn * attn_gate
 
             ff_in = L.layer_norm(lp["ff_ln"], x)
             ff = L.linear(lp["ff2"], L.gelu(L.linear(lp["ff1"], ff_in, prec)), prec)
-            if train and sub_rng is not None:
-                ff = L.dropout(ff, self.dropout_rate, sub_rng, deterministic=False)
+            if train and ff_rng is not None:
+                ff = L.dropout(ff, self.dropout_rate, ff_rng, deterministic=False)
             ff_gate = jnp.tanh(lp["ff_gate"]).astype(ff.dtype)
             return x + ff * ff_gate
 

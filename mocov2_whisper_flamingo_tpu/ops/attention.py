@@ -31,6 +31,8 @@ def _xla_attention(
     kv_valid: jnp.ndarray | None,
     scale: float,
     causal: bool,
+    dropout_rate: float = 0.0,
+    dropout_rng: jax.Array | None = None,
 ) -> jnp.ndarray:
     logits = jnp.einsum("bqhd,bkhd->bhqk", q, k, preferred_element_type=jnp.float32)
     logits = logits.astype(jnp.float32) * scale
@@ -45,6 +47,13 @@ def _xla_attention(
         causal_ok = col <= row + (tk - tq)
         logits = jnp.where(causal_ok[None, None], logits, NEG_INF)
     probs = jax.nn.softmax(logits, axis=-1)
+    if dropout_rate > 0.0 and dropout_rng is not None:
+        # Attention-PROB dropout, torch nn.MultiheadAttention's train-mode
+        # semantics (reference: gate_cross_attention.py:16 uses dropout=0.1
+        # inside MHA): per-element bernoulli on the post-softmax probs,
+        # scaled by 1/(1-p).
+        keep = jax.random.bernoulli(dropout_rng, 1.0 - dropout_rate, probs.shape)
+        probs = jnp.where(keep, probs / (1.0 - dropout_rate), 0.0)
     out = jnp.einsum("bhqk,bkhd->bqhd", probs.astype(v.dtype), v)
     return out
 
@@ -57,19 +66,28 @@ def multi_head_attention(
     scale: float | None = None,
     causal: bool = False,
     backend: str = "xla",
+    dropout_rate: float = 0.0,
+    dropout_rng: jax.Array | None = None,
 ) -> jnp.ndarray:
     """Scaled dot-product attention over ``[B, T, H, Dh]`` tensors.
 
     kv_valid: optional [B, Tk] bool, True where the key/value position is
     real (padding positions are excluded from the softmax).
+
+    dropout_rate/dropout_rng: attention-probability dropout (train only;
+    pass ``dropout_rng=None`` for eval). Supported on the XLA path only —
+    the flash kernel streams probabilities block-by-block and never
+    materializes them, so callers requiring prob dropout fall back to XLA.
     """
     if scale is None:
         scale = q.shape[-1] ** -0.5
-    if backend == "pallas":
+    active_dropout = dropout_rate > 0.0 and dropout_rng is not None
+    if backend == "pallas" and not active_dropout:
         from mocov2_whisper_flamingo_tpu.ops.flash_attention import flash_attention
 
         return flash_attention(q, k, v, kv_valid=kv_valid, scale=scale, causal=causal)
-    return _xla_attention(q, k, v, kv_valid, scale, causal)
+    return _xla_attention(q, k, v, kv_valid, scale, causal,
+                          dropout_rate, dropout_rng)
 
 
 def default_attention_backend() -> str:

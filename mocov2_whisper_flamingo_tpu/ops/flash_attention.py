@@ -37,7 +37,7 @@ def _attention_kernel(
     out_ref,                         # output
     m_scr, l_scr, acc_scr,           # scratch
     *, scale: float, causal: bool, block_q: int, block_k: int,
-    tq: int, tk: int,
+    causal_offset: int,
 ):
     ki = pl.program_id(2)
     n_k = pl.num_programs(2)
@@ -59,10 +59,15 @@ def _attention_kernel(
     s = s + bias_ref[0]  # key-padding bias row [1, BK] broadcast over BQ
 
     if causal:
+        # causal_offset is computed from the UNPADDED tq/tk (the last real
+        # query row attends all real keys). Deriving it from padded sizes is
+        # wrong when q and k pad to different block multiples: queries would
+        # see up to (pad_k - pad_q) future real keys. Padded key columns are
+        # masked by the bias; padded query rows are sliced off by the caller.
         qi = pl.program_id(1)
         rows = jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 0) + qi * block_q
         cols = jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 1) + ki * block_k
-        s = jnp.where(cols <= rows + (tk - tq), s, NEG_INF)
+        s = jnp.where(cols <= rows + causal_offset, s, NEG_INF)
 
     m_prev = m_scr[:]                       # [BQ, 1]
     m_cur = jnp.max(s, axis=-1, keepdims=True)
@@ -136,7 +141,7 @@ def _flash_attention_fwd_impl(
 
     kernel = functools.partial(
         _attention_kernel, scale=scale, causal=causal,
-        block_q=block_q, block_k=block_k, tq=tq_p, tk=tk_p)
+        block_q=block_q, block_k=block_k, causal_offset=tk - tq)
 
     out = pl.pallas_call(
         kernel,

@@ -28,10 +28,27 @@ from mocov2_whisper_flamingo_tpu.ops.losses import ctc_loss, label_smoothed_cros
 
 @dataclasses.dataclass
 class AVSRTask:
+    """``loss_mode``:
+
+    - ``"ctc_ce"`` (default): joint CTC + label-smoothed CE, the committed
+      trainer (reference: train.py:33-246).
+    - ``"feature_mse"``: the notebook-era feature-alignment objective
+      (reference: train.ipynb cell 2): MSE between the model's fused
+      feature output and the audio stream, with a cosine-similarity metric
+      on time-pooled features. The notebook compared features against the
+      raw mel batch through an older, shape-incompatible AVNet API; the
+      coherent reconstruction is MSE(fused_features, audio_branch_features)
+      — both [B, T', D] — which is the only pairing that type-checks in the
+      committed AVNet and preserves the objective's intent (teach the
+      trainable fusion to stay close to the audio stream while admitting
+      visual signal through the gates).
+    """
+
     net: Any
     label_smoothing: float = 0.1
     ctc_blank: int = 0
     pad_to_ignore: bool = False
+    loss_mode: str = "ctc_ce"
 
     # -- losses -----------------------------------------------------------------
 
@@ -55,8 +72,27 @@ class AVSRTask:
             logits[:, :t_min], ce_targets, label_smoothing=self.label_smoothing)
         return {"ctc_loss": ctc, "ce_loss": ce, "loss": ctc + ce}
 
+    def feature_mse_losses(self, params: dict, batch: dict,
+                           rng: jax.Array | None = None,
+                           train: bool = True) -> dict:
+        input_data = (batch["audio"], batch["audio_mask"], batch["video"],
+                      batch["video_mask"], batch["video_lengths"])
+        features, audio_feat = self.net.forward_features(
+            params, input_data, train=train, rng=rng)
+        features = features.astype(jnp.float32)
+        audio_feat = jax.lax.stop_gradient(audio_feat).astype(jnp.float32)
+        mse = jnp.mean(jnp.square(features - audio_feat))
+        fm = jnp.mean(features, axis=1)
+        am = jnp.mean(audio_feat, axis=1)
+        cos = jnp.sum(fm * am, axis=-1) / jnp.maximum(
+            jnp.linalg.norm(fm, axis=-1) * jnp.linalg.norm(am, axis=-1), 1e-8)
+        return {"loss": mse, "cosine_sim": jnp.mean(cos)}
+
     def loss_fn(self, params: dict, batch: dict, rng: jax.Array | None = None,
                 train: bool = True) -> tuple[jnp.ndarray, dict]:
+        if self.loss_mode == "feature_mse":
+            losses = self.feature_mse_losses(params, batch, rng, train)
+            return losses["loss"], losses
         input_data = (batch["audio"], batch["audio_mask"], batch["video"],
                       batch["video_mask"], batch["video_lengths"])
         logits = self.net.forward(params, input_data, train=train, rng=rng)
@@ -99,6 +135,16 @@ class AVSRTask:
         return step
 
     def make_eval_step(self):
+        if self.loss_mode == "feature_mse":
+            def step(params, batch):
+                losses = self.feature_mse_losses(params, batch, train=False)
+                # No decode in feature-pretraining mode; dummy predictions
+                # keep the trainer's eval-loop signature uniform.
+                preds = jnp.zeros((batch["target_ids"].shape[0], 1), jnp.int32)
+                return losses, preds
+
+            return step
+
         def step(params, batch):
             input_data = (batch["audio"], batch["audio_mask"], batch["video"],
                           batch["video_mask"], batch["video_lengths"])

@@ -118,11 +118,21 @@ class Trainer:
             net,
             label_smoothing=config["training"]["label_smoothing"],
             pad_to_ignore=bool(config["training"].get("pad_to_ignore", False)),
+            loss_mode=config["training"].get("loss_mode", "ctc_ce"),
         )
         self.mesh = make_mesh(
             n_data=config["mesh"].get("data", -1),
             n_model=config["mesh"].get("model", 1),
         )
+        if (self.mesh.shape.get("model", 1) > 1
+                and getattr(net, "backend", "xla") == "pallas"
+                and hasattr(net, "set_attention_backend")):
+            # TP x Pallas fence: GSPMD replicates operands of opaque
+            # pallas_calls, defeating the model-axis sharding; the XLA
+            # attention path shards head-parallel natively.
+            logger.info("model axis > 1: forcing XLA attention backend "
+                        "(pallas_call is opaque to GSPMD)")
+            net.set_attention_backend("xla")
         self.total_steps = total_steps
         self.log_every = config["output"].get("log_every_n_steps", 100)
         self.log_gates = bool(config["output"].get("log_gates", True))

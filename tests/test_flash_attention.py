@@ -101,3 +101,31 @@ def test_bf16_inputs(rng):
     ref = _xla_attention(q, k, v, None, 16 ** -0.5, False)
     np.testing.assert_allclose(np.asarray(ours, dtype=np.float32), np.asarray(ref),
                                atol=0.05, rtol=0.05)
+
+
+def test_causal_unaligned_lengths(rng):
+    """Causal mask with tq/tk padding to DIFFERENT block multiples: the
+    offset must come from the unpadded lengths (tq=13 pads to 16, tk=27 to
+    32 at 8x8 blocks — a padded-length offset would let queries attend two
+    future real keys)."""
+    q, k, v = _qkv(rng, tq=13, tk=27)
+    ours = _run(flash_attention, q, k, v, causal=True, **BLOCKS)
+    ref = _xla_attention(q, k, v, None, 16 ** -0.5, True)
+    np.testing.assert_allclose(np.asarray(ours), np.asarray(ref), **TOL)
+
+
+@pytest.mark.skipif(ON_TPU, reason="covers the CPU interpret path")
+def test_production_blocks_interpret(rng):
+    """The 128-multiple auto-blocking branch (the production TPU path) in
+    interpret mode: small inputs padded up to 128-blocks, causal and
+    masked."""
+    q, k, v = _qkv(rng, b=1, tq=24, tk=40, h=2, d=16)
+    valid = np.ones((1, 40), bool)
+    valid[0, 33:] = False
+    ours = _run(flash_attention, q, k, v, kv_valid=jnp.asarray(valid))
+    ref = _xla_attention(q, k, v, jnp.asarray(valid), 16 ** -0.5, False)
+    np.testing.assert_allclose(np.asarray(ours), np.asarray(ref), **TOL)
+
+    ours_c = _run(flash_attention, q, k, v, causal=True)
+    ref_c = _xla_attention(q, k, v, None, 16 ** -0.5, True)
+    np.testing.assert_allclose(np.asarray(ours_c), np.asarray(ref_c), **TOL)

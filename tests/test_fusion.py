@@ -152,3 +152,54 @@ def test_remat_matches_no_remat(rng):
     g2 = jax.grad(lambda p: jnp.sum(f_remat.apply(p, x, xa) ** 2))(params)
     for a, b in zip(jax.tree.leaves(g1), jax.tree.leaves(g2)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+
+
+def test_attention_prob_dropout_unbiased(rng):
+    """Train-mode attention-prob dropout (reference:
+    gate_cross_attention.py:16, dropout inside MHA) is an unbiased,
+    non-degenerate estimator of eval attention: the mean over many masks
+    converges to the eval output, and individual samples differ from it."""
+    from mocov2_whisper_flamingo_tpu.ops.attention import multi_head_attention
+
+    q = jnp.asarray(rng.standard_normal((1, 3, 2, 8)).astype(np.float32))
+    k = jnp.asarray(rng.standard_normal((1, 6, 2, 8)).astype(np.float32))
+    v = jnp.asarray(rng.standard_normal((1, 6, 2, 8)).astype(np.float32))
+    base = np.asarray(multi_head_attention(q, k, v))
+
+    p = 0.3
+    f = jax.jit(lambda key: multi_head_attention(
+        q, k, v, dropout_rate=p, dropout_rng=key))
+    keys = jax.random.split(jax.random.PRNGKey(0), 4000)
+    samples = np.asarray(jax.vmap(f)(keys))
+    assert np.abs(samples[0] - base).max() > 1e-3  # dropout actually fires
+    np.testing.assert_allclose(samples.mean(0), base, atol=0.06)
+
+
+def test_fusion_train_dropout_vs_eval(rng):
+    """Fusion train-mode with dropout>0 differs from eval; with dropout=0 it
+    matches eval exactly (rng plumbed but inert); the pallas-backend object
+    silently falls back to XLA attention in train mode."""
+    audio = jnp.asarray(rng.standard_normal((2, 5, D)).astype(np.float32))
+    video = jnp.asarray(rng.standard_normal((2, 7, D)).astype(np.float32))
+
+    fusion = GatedCrossModalFusion(D, H, n_layers=2, dropout=0.1)
+    params = fusion.init(jax.random.PRNGKey(0))
+    for layer in params["layers"]:  # open the gates so attention matters
+        layer["attn_gate"] = jnp.asarray(0.5)
+        layer["ff_gate"] = jnp.asarray(0.5)
+
+    ev = np.asarray(fusion.apply(params, audio, video))
+    tr = np.asarray(fusion.apply(params, audio, video, train=True,
+                                 rng=jax.random.PRNGKey(7)))
+    assert np.abs(tr - ev).max() > 1e-4
+
+    fusion0 = GatedCrossModalFusion(D, H, n_layers=2, dropout=0.0)
+    tr0 = np.asarray(fusion0.apply(params, audio, video, train=True,
+                                   rng=jax.random.PRNGKey(7)))
+    np.testing.assert_allclose(tr0, ev, atol=1e-6)
+
+    fusion_p = GatedCrossModalFusion(D, H, n_layers=2, dropout=0.1,
+                                     backend="pallas")
+    tr_p = np.asarray(fusion_p.apply(params, audio, video, train=True,
+                                     rng=jax.random.PRNGKey(7)))
+    np.testing.assert_allclose(tr_p, tr, atol=1e-6)

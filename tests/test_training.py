@@ -249,3 +249,61 @@ def test_nan_skip_guard(trainer_setup):
     params3, opt_state, losses = step(params2, opt_state, batch, jax.random.PRNGKey(1))
     assert float(losses["skipped"]) == 0.0
     assert np.isfinite(float(losses["loss"]))
+
+
+def test_tp_mesh_fences_pallas_backend(tmp_path):
+    """model-axis > 1 forces the XLA attention backend on every submodule:
+    GSPMD replicates operands of opaque pallas_calls, so TP must not run
+    through the Pallas kernels (round-1 weakness W4)."""
+    from mocov2_whisper_flamingo_tpu.training.trainer import Trainer
+
+    cfg = get_config({
+        "output.checkpoint_dir": str(tmp_path / "ckpt"),
+        "output.log_dir": str(tmp_path / "logs"),
+        "mesh.data": 4,
+        "mesh.model": 2,
+    })
+    net = AVNet("audiovisual", None, 96, MODELARGS, VOCAB, backend="pallas")
+    Trainer(cfg, net, ByteTokenizer())
+    assert net.backend == "xla"
+    assert net.whisper_encoder.backend == "xla"
+    assert net.fusion.backend == "xla"
+
+    cfg_dp = get_config({
+        "output.checkpoint_dir": str(tmp_path / "ckpt2"),
+        "output.log_dir": str(tmp_path / "logs2"),
+        "mesh.data": 8,
+        "mesh.model": 1,
+    })
+    net_dp = AVNet("audiovisual", None, 96, MODELARGS, VOCAB, backend="pallas")
+    Trainer(cfg_dp, net_dp, ByteTokenizer())
+    assert net_dp.backend == "pallas"  # pure DP keeps the fused kernels
+
+
+def test_feature_mse_loss_mode():
+    """Notebook-era feature-alignment objective (reference: train.ipynb
+    cell 2): finite MSE between fused and audio features, cosine-sim metric,
+    gradients confined to the trainable fusion stack."""
+    from mocov2_whisper_flamingo_tpu.training.task import AVSRTask
+
+    net = _tiny_net()
+    params = net.init(jax.random.PRNGKey(0))
+    task = AVSRTask(net, loss_mode="feature_mse")
+    batch = SyntheticDataModule(n_batches=1).batches[0]
+
+    loss, losses = task.loss_fn(params, batch, jax.random.PRNGKey(1), True)
+    assert np.isfinite(float(loss))
+    assert -1.0 <= float(losses["cosine_sim"]) <= 1.0
+
+    grads = jax.grad(lambda p: task.loss_fn(p, batch, None, True)[0])(params)
+    enc_norm = sum(float(jnp.sum(jnp.abs(g)))
+                   for g in jax.tree.leaves(grads["whisper_encoder"]))
+    fusion_norm = sum(float(jnp.sum(jnp.abs(g)))
+                      for g in jax.tree.leaves(grads["fusion"]))
+    assert enc_norm == 0.0  # frozen encoder
+    assert fusion_norm > 0.0
+
+    eval_step = task.make_eval_step()
+    losses_e, preds = eval_step(params, batch)
+    assert np.isfinite(float(losses_e["loss"]))
+    assert preds.shape[0] == batch["target_ids"].shape[0]

@@ -61,3 +61,49 @@ def test_grayscale(rng):
     g = V.rgb_to_grayscale(x)
     assert g.shape == x.shape
     np.testing.assert_allclose(np.asarray(g[0, 0]), np.asarray(g[0, 1]))
+
+
+def test_color_jitter_matches_host_math(rng):
+    """Device ColorJitter (fixed b->c->s->h order) == the host per-op math
+    (transforms.py:241-267, itself torch-parity) applied in that order with
+    the same injected factors."""
+    from mocov2_whisper_flamingo_tpu.datamodule import transforms as T
+
+    x = rng.random((2, 3, 3, 8, 8)).astype(np.float32)  # [B, T, C, H, W]
+    fb, fc, fs = np.array([0.7, 1.3]), np.array([1.2, 0.8]), np.array([0.6, 1.4])
+    hs = np.array([0.05, -0.08])
+
+    ours = np.asarray(V.color_jitter_with_factors(
+        jnp.asarray(x), jnp.asarray(fb), jnp.asarray(fc), jnp.asarray(fs),
+        jnp.asarray(hs)))
+
+    for b in range(2):
+        ref = np.clip(x[b] * fb[b], 0, 1)
+        gray = 0.299 * ref[:, 0] + 0.587 * ref[:, 1] + 0.114 * ref[:, 2]
+        mean = gray.mean(axis=(-2, -1), keepdims=True)[:, None]
+        ref = np.clip(fc[b] * ref + (1 - fc[b]) * mean, 0, 1)
+        gray = (0.299 * ref[:, 0] + 0.587 * ref[:, 1] + 0.114 * ref[:, 2])[:, None]
+        ref = np.clip(fs[b] * ref + (1 - fs[b]) * gray, 0, 1)
+        hsv = T._rgb_to_hsv(ref)
+        hsv[..., 0, :, :] = (hsv[..., 0, :, :] + hs[b]) % 1.0
+        ref = np.clip(T._hsv_to_rgb(hsv), 0, 1)
+        np.testing.assert_allclose(ours[b], ref, atol=1e-5)
+
+
+def test_train_pipeline_deterministic_branches(rng):
+    """flip_prob=1 flips, grayscale_prob=1 grays, jitter=None inert: the
+    composed pipeline equals the hand-applied host ops."""
+    from mocov2_whisper_flamingo_tpu.datamodule.transforms import (
+        IMAGENET_MEAN, IMAGENET_STD)
+
+    x = rng.integers(0, 255, (1, 4, 3, 96, 96)).astype(np.float32)
+    out = np.asarray(V.train_video_pipeline(
+        jnp.asarray(x), jax.random.PRNGKey(0), resize=64, flip_prob=1.0,
+        jitter=None, grayscale_prob=1.0, time_mask_window=0, time_mask_stride=10**9))
+
+    ref = np.asarray(V.resize_bilinear(jnp.asarray(x), 64)) / 255.0
+    ref = ref[..., ::-1]
+    gray = 0.299 * ref[:, :, 0] + 0.587 * ref[:, :, 1] + 0.114 * ref[:, :, 2]
+    ref = np.repeat(gray[:, :, None], 3, axis=2)
+    ref = (ref - IMAGENET_MEAN[:, None, None]) / IMAGENET_STD[:, None, None]
+    np.testing.assert_allclose(out, ref, atol=1e-4)
