@@ -136,11 +136,13 @@ class AVWhisperNet:
         """Decoder params in the compute dtype, cast ONCE before the token
         loop (XLA hoists loop-invariant casts out of the scan on its own —
         measured no change on v5e — but the explicit cast keeps the weight
-        traffic halved even when that optimization doesn't fire)."""
+        traffic halved even when that optimization doesn't fire), with
+        fused QKV self-attention weights for the op-count-bound step."""
         prec = self.precision
-        return jax.tree.map(
+        cast = jax.tree.map(
             lambda x: prec.cast(x) if jnp.issubdtype(x.dtype, jnp.floating) else x,
             params["decoder"])
+        return self.decoder.fuse_decode_params(cast)
 
     def greedy(self, params: dict, input_batch: tuple, prefix_ids,
                max_len: int = 224, eos_id: int = 0) -> jnp.ndarray:

@@ -110,15 +110,28 @@ def attention_block(
     precomputed encoder K/V and is used as-is.
     """
     src = x if kv_source is None else kv_source
-    q = _split_heads(L.linear(params["q"], x, precision), n_heads)
+    fused_self = "qkv" in params and kv_source is None
+    if fused_self:
+        # Decode-path optimization: one [B, D] x [D, 3D] matmul instead of
+        # three (the step is op-count-bound — tools/profile_decode.py).
+        # "qkv" is derived by ``fuse_decode_params`` from q/k/v weights.
+        qkv = L.linear(params["qkv"], x, precision)
+        q, k, v = jnp.split(qkv, 3, axis=-1)
+        q = _split_heads(q, n_heads)
+    else:
+        q = _split_heads(L.linear(params["q"], x, precision), n_heads)
 
     if cache is not None and kv_source is not None:
         # Cross-attention with precomputed encoder K/V.
         k, v = cache["k"], cache["v"]
         new_cache = cache
     else:
-        k = _split_heads(L.linear(params["k"], src, precision), n_heads)
-        v = _split_heads(L.linear(params["v"], src, precision), n_heads)
+        if fused_self:
+            k = _split_heads(k, n_heads)
+            v = _split_heads(v, n_heads)
+        else:
+            k = _split_heads(L.linear(params["k"], src, precision), n_heads)
+            v = _split_heads(L.linear(params["v"], src, precision), n_heads)
         if cache is not None:
             # Incremental decode: write new K/V into the static-size cache.
             k = jax.lax.dynamic_update_slice(cache["k"], k.astype(cache["k"].dtype), (0, cache_index, 0, 0))
@@ -276,6 +289,31 @@ class WhisperDecoder:
         return logits
 
     # -- incremental decode ---------------------------------------------------
+
+    @staticmethod
+    def fuse_decode_params(params: L.Params) -> L.Params:
+        """Derive per-layer fused QKV self-attention weights for the decode
+        step (one matmul instead of three; see attention_block). The q/k/v
+        entries are kept — training/full-sequence paths ignore "qkv". K has
+        no bias in Whisper (HF k_proj bias=False), hence the zero block."""
+        params = dict(params)
+        layers = []
+        for lp in params["layers"]:
+            lp = dict(lp)
+            sa = dict(lp["self_attn"])
+            d = sa["q"]["kernel"].shape[0]
+            kernel = jnp.concatenate(
+                [sa["q"]["kernel"], sa["k"]["kernel"], sa["v"]["kernel"]], axis=1)
+            bias = jnp.concatenate([
+                sa["q"].get("bias", jnp.zeros((d,), kernel.dtype)),
+                jnp.zeros((d,), kernel.dtype),
+                sa["v"].get("bias", jnp.zeros((d,), kernel.dtype)),
+            ])
+            sa["qkv"] = {"kernel": kernel, "bias": bias}
+            lp["self_attn"] = sa
+            layers.append(lp)
+        params["layers"] = layers
+        return params
 
     def init_cache(self, params: L.Params, encoder_out: jnp.ndarray,
                    max_len: int | None = None, dtype=None,

@@ -230,3 +230,22 @@ def test_transcribe_long_form(setup, rng):
         max_len=32, max_tokens_per_chunk=4, mel_fn=mel_fn)
     assert 0 < len(tokens) <= 12  # up to 4 tokens per chunk, 3 chunks
     assert all(t != EOS for t in tokens)
+
+
+def test_fused_decode_params_match(setup):
+    """fuse_decode_params (single fused QKV matmul in the decode step) is a
+    pure reparameterization: greedy and beam outputs are bit-identical."""
+    dec, params, enc_out = setup
+    fused = dec.fuse_decode_params(params)
+    g_ref = np.asarray(greedy_decode(dec, params, enc_out, PREFIX, 12, EOS))
+    g_fused = np.asarray(greedy_decode(dec, fused, enc_out, PREFIX, 12, EOS))
+    np.testing.assert_array_equal(g_fused, g_ref)
+
+    b_ref = beam_search(dec, params, enc_out, PREFIX, beam_size=4, max_len=12,
+                        eos_id=EOS)
+    b_fused = beam_search(dec, fused, enc_out, PREFIX, beam_size=4, max_len=12,
+                          eos_id=EOS)
+    np.testing.assert_array_equal(np.asarray(b_fused.sequences),
+                                  np.asarray(b_ref.sequences))
+    np.testing.assert_allclose(np.asarray(b_fused.scores),
+                               np.asarray(b_ref.scores), rtol=1e-6)
