@@ -182,10 +182,16 @@ class StreamingDecoder:
     # -- public API ----------------------------------------------------------
 
     def process_chunk(self, encoder_out: jnp.ndarray,
-                      encoder_valid: jnp.ndarray | None = None) -> list[int]:
+                      encoder_valid: jnp.ndarray | None = None,
+                      collect: bool = True) -> list[int]:
         """Decode against one chunk's encoder output ([1, T, D]); returns the
         newly committed token ids (EOS terminates the chunk, not the
-        stream)."""
+        stream).
+
+        ``collect=False`` skips the device->host sync entirely (the chunk
+        dispatch stays async and overlaps the next chunk's encode — on a
+        remote-tunnel TPU each sync costs ~3 round trips); call
+        ``collected_tokens()`` at any boundary to drain the transcript."""
         first = self._state is None
         if first:
             self._state = self._init_state()
@@ -195,11 +201,24 @@ class StreamingDecoder:
         caches, tokens, i_new = fn(
             self.params, encoder_out, encoder_valid, caches, tokens, i0)
         self._state = (caches, tokens, i_new)
+        if not collect:
+            return []
         row = np.asarray(tokens[0])
         start, end = int(i0) + 1, int(i_new) + 1
         new_tokens = [int(t) for t in row[start:end]]
         self.tokens.extend(new_tokens)
         return new_tokens
+
+    def collected_tokens(self) -> list[int]:
+        """Sync and return the FULL transcript committed so far (prefix
+        included) — the one-sync companion of ``process_chunk(collect=
+        False)``. Also reconciles ``self.tokens``."""
+        if self._state is None:
+            return list(self.tokens)
+        _, tokens, i_new = self._state
+        row = np.asarray(tokens[0])
+        self.tokens = [int(t) for t in row[: int(i_new) + 1]]
+        return list(self.tokens)
 
 
 def transcribe_long_form(

@@ -249,3 +249,24 @@ def test_fused_decode_params_match(setup):
                                   np.asarray(b_ref.sequences))
     np.testing.assert_allclose(np.asarray(b_fused.scores),
                                np.asarray(b_ref.scores), rtol=1e-6)
+
+
+def test_streaming_deferred_collect(setup):
+    """collect=False defers all host syncs; collected_tokens() at the end
+    returns the same transcript as eager per-chunk collection."""
+    dec, params, enc_out = setup
+    rng = np.random.default_rng(3)
+    chunk_a = enc_out[:1]
+    chunk_b = jnp.asarray(rng.standard_normal((1, 16, 48)).astype(np.float32))
+
+    eager = StreamingDecoder(dec, params, PREFIX, max_len=32, eos_id=EOS,
+                             max_tokens_per_chunk=5, beam_size=3)
+    eager.process_chunk(chunk_a)
+    eager.process_chunk(chunk_b)
+
+    lazy = StreamingDecoder(dec, params, PREFIX, max_len=32, eos_id=EOS,
+                            max_tokens_per_chunk=5, beam_size=3)
+    assert lazy.process_chunk(chunk_a, collect=False) == []
+    assert lazy.process_chunk(chunk_b, collect=False) == []
+    assert lazy.collected_tokens() == eager.tokens
+    assert lazy.tokens == eager.tokens
