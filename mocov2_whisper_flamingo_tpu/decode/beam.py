@@ -52,7 +52,8 @@ class BeamResult:
     scores: jnp.ndarray     # [B, K] length-normalized log probs
 
 
-def _gather_beams(tree, beam_idx: jnp.ndarray, b: int, k: int):
+def _gather_beams(tree, beam_idx: jnp.ndarray, b: int, k: int,
+                  flatten: bool = True):
     """Reorder the leading [B*K] axis of every leaf by per-batch beam index
     [B, K_new] (values in [0, K)).
 
@@ -60,17 +61,26 @@ def _gather_beams(tree, beam_idx: jnp.ndarray, b: int, k: int):
     axis) rather than take_along_axis: general gathers lower poorly on TPU
     for large operands (measured ~200ms/step on the KV caches), while the
     small permutation contraction is MXU work XLA handles at full speed.
+
+    ``flatten`` picks how the trailing dims meet the dot (both measured,
+    round 2): flattening to [B, K, F] wins in the batched beam-search
+    program (2.74 vs 3.10 ms/step at cache length 164), while the
+    non-flattened multi-free-dim dot wins in the streaming chunk program
+    whose per-leaf caches are long and single-example (154x -> 204x
+    realtime at cache length 448, where the flatten materializes a ~2.6 MB
+    relayout copy per leaf per step).
     """
     k_new = beam_idx.shape[1]
     perm = (beam_idx[..., None] == jnp.arange(k)[None, None, :])  # [B, K_new, K]
 
     def gather(leaf):
-        shaped = leaf.reshape(b, k, -1)  # [B, K, F]
+        shaped = leaf.reshape(b, k, -1) if flatten else \
+            leaf.reshape(b, k, *leaf.shape[1:])
         p = perm.astype(leaf.dtype if jnp.issubdtype(leaf.dtype, jnp.floating)
                         else jnp.float32)
         out = jax.lax.dot_general(
             p, shaped.astype(p.dtype), (((2,), (1,)), ((0,), (0,))),
-            preferred_element_type=p.dtype)  # [B, K_new, F]
+            preferred_element_type=p.dtype)  # [B, K_new, ...]
         return out.astype(leaf.dtype).reshape(b * k_new, *leaf.shape[1:])
 
     return jax.tree.map(gather, tree)
@@ -131,11 +141,22 @@ def beam_search(
         logits, cache = decoder.decode_step(params, cur, cache, i,
                                             encoder_valid=enc_valid)
         logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
-        total = (run_scores[..., None] + logp.reshape(b, k, v)).reshape(b, k * v)
-
-        s2k, idx2k = jax.lax.top_k(total, k2)  # [B, 2K]
-        beam2k = idx2k // v
-        tok2k = (idx2k % v).astype(jnp.int32)
+        # Two-stage expansion: per-beam top-2K over the vocab, then top-2K
+        # over the K*2K union. Every global top-2K candidate is inside its
+        # own beam's top-2K, so this is exact — and it avoids flattening
+        # [B, K, V] to [B, K*V], which forced two physical relayout copies
+        # of the ~4 MB padded-lane score tensor per step (round-2 HLO).
+        # (top_k stays rank-2: the batched rank-3 form lowers to a full
+        # sort on TPU — measured 1.6 ms/step — while rank-2 hits the
+        # partial-selection TopK path.)
+        s1, t1 = jax.lax.top_k(logp, k2)  # [B*K, 2K]
+        s1 = s1.reshape(b, k, k2)
+        t1 = t1.reshape(b, k, k2)
+        total1 = run_scores[..., None] + s1
+        s2k, flat = jax.lax.top_k(total1.reshape(b, k * k2), k2)  # [B, 2K]
+        beam2k = flat // k2
+        tok2k = jnp.take_along_axis(t1.reshape(b, k * k2), flat, axis=1
+                                    ).astype(jnp.int32)
         # A candidate is finished when it just emitted EOS, or when this step
         # fills the last buffer slot (max-length criterion: force-bank all).
         hits = (tok2k == eos_id) | (i + 2 >= max_len)

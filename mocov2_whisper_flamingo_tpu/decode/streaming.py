@@ -136,15 +136,21 @@ class StreamingDecoder:
                 eos_only = jnp.full((v,), NEG_INF).at[eos].set(0.0)
                 logp = jnp.where(done[:, None], eos_only[None, :], logp)
 
-                total = (scores[:, None] + logp).reshape(1, k * v)
-                top_scores, top_idx = jax.lax.top_k(total, k)  # [1, K]
-                beam_idx = top_idx // v
-                token_idx = (top_idx % v).astype(jnp.int32)[0]  # [K]
+                # Two-stage expansion (see decode/beam.py): per-beam top-K
+                # over the vocab, then top-K of the union — exact, and it
+                # avoids the physical relayout copy of the flattened scores.
+                s1, t1 = jax.lax.top_k(logp, k)  # [K, K] over vocab
+                total1 = scores[:, None] + s1
+                top_scores, flat = jax.lax.top_k(total1.reshape(1, k * k), k)
+                beam_idx = flat // k  # [1, K]
+                token_idx = jnp.take_along_axis(
+                    t1.reshape(1, k * k), flat, axis=1)[0].astype(jnp.int32)
 
                 tokens = jnp.take_along_axis(tokens, beam_idx.T, axis=0)
                 done = jnp.take_along_axis(done[None], beam_idx, axis=1)[0]
                 cache = [
-                    {"self": _gather_beams(layer["self"], beam_idx, 1, k),
+                    {"self": _gather_beams(layer["self"], beam_idx, 1, k,
+                                           flatten=False),
                      "cross": layer["cross"]}
                     for layer in cache
                 ]
@@ -168,7 +174,8 @@ class StreamingDecoder:
             bcast = jnp.full((1, k), best, jnp.int32)
             tokens = jnp.broadcast_to(tokens[best][None], (k, l_))
             self_caches = [
-                _gather_beams(layer["self"], bcast, 1, k) for layer in cache]
+                _gather_beams(layer["self"], bcast, 1, k, flatten=False)
+                for layer in cache]
 
             pos = jnp.arange(l_)
             i_new = jnp.max(jnp.where(tokens[0] != eos, pos, 0))
