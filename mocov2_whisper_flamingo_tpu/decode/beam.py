@@ -28,12 +28,18 @@ TPU design notes (each measured — see docs/DESIGN.md):
 - the loop is a fixed-trip-count ``lax.scan``; ``while_loop``/``cond``
   serialize with ~200 ms/step host round-trips on remote-execution backends;
   once a batch stops banking the extra steps are masked no-ops;
-- KV-cache beam reordering is a one-hot K x K matmul, not
+- the SELF caches are **append-only**: instead of physically reordering
+  them each step, a one-hot ancestry tensor is folded into the attention
+  (models/whisper.py ``_ancestry_attention``) — 2.76 -> 1.01 ms/step,
+  because every physical reorder (however expressed) forced a ~50 us
+  relayout copy per cache leaf of tile-padded [.., 12, 64] trailing dims;
+- where physical gathers remain (token buffers, ``use_ancestry=False``
+  fallback, streaming chunk commit), they are one-hot matmuls, not
   ``take_along_axis`` — the general gather lowers ~100x slower on large KV
-  caches (token buffers are tiny and use the plain gather);
-- only the SELF-attention caches are reordered; cross K/V rows are
-  beam-invariant by construction (computed from the un-repeated encoder
-  output) and the cross cache is computed once per utterance.
+  caches;
+- cross K/V rows are beam-invariant by construction (computed from the
+  un-repeated encoder output); the cross cache is computed once per
+  utterance and never touched by beam bookkeeping.
 """
 
 from __future__ import annotations
@@ -97,10 +103,17 @@ def beam_search(
     length_penalty: float = 1.0,
     encoder_valid: jnp.ndarray | None = None,
     early_stopping: bool = False,
+    use_ancestry: bool = True,
 ) -> BeamResult:
     """Batched beam search; returns the K best finished hypotheses per
     example, best first. EOS-terminated hypotheses include their EOS; the
-    token buffer is EOS-filled beyond each sequence's end."""
+    token buffer is EOS-filled beyond each sequence's end.
+
+    ``use_ancestry`` (default, measured faster): the self caches are
+    append-only and a one-hot ancestry tensor is folded into the attention
+    (models/whisper.py ``_ancestry_attention``) instead of physically
+    reordering every cache leaf each step — bit-identical results. False
+    falls back to the classic cache-reordering search."""
     b = encoder_out.shape[0]
     k = beam_size
     k2 = 2 * k
@@ -123,6 +136,13 @@ def beam_search(
     pool_tokens = jnp.full((b, k, max_len), eos_id, dtype=jnp.int32)
     pool_scores = jnp.full((b, k), NEG_INF)
     heur_ok = jnp.ones((b,), bool)  # "can the pool still improve?"
+    # ancestry[b, n, j, t] = 1 iff beam n's position-t KV lives in physical
+    # cache row j. Starts as identity (rows write their own slots); future
+    # positions stay identity because each step's writer row IS the beam
+    # index at write time.
+    eye_k = jnp.eye(k, dtype=jnp.float32)
+    anc = jnp.broadcast_to(eye_k[None, :, :, None], (b, k, k, max_len)) + 0.0 \
+        if use_ancestry else None
 
     # Teacher-force the prefix through the cache (all beams identical here).
     def prefix_step(carry, i):
@@ -135,11 +155,13 @@ def beam_search(
         cache, _ = jax.lax.scan(prefix_step, cache, jnp.arange(n_prefix - 1))
 
     def body(state, _):
-        i, run_tokens, run_scores, pool_tokens, pool_scores, heur_ok, cache = state
+        (i, run_tokens, run_scores, pool_tokens, pool_scores, heur_ok,
+         cache, anc) = state
         cur = jax.lax.dynamic_slice_in_dim(
             run_tokens.reshape(b * k, max_len), i, 1, axis=1)
         logits, cache = decoder.decode_step(params, cur, cache, i,
-                                            encoder_valid=enc_valid)
+                                            encoder_valid=enc_valid,
+                                            ancestry=anc)
         logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
         # Two-stage expansion: per-beam top-2K over the vocab, then top-2K
         # over the K*2K union. Every global top-2K candidate is inside its
@@ -184,11 +206,24 @@ def beam_search(
         run_scores, sel = jax.lax.top_k(run_s2k, k)
         sel_beam = jnp.take_along_axis(beam2k, sel, axis=1)  # [B, K] old beam
         run_tokens = jnp.take_along_axis(cand_tokens, sel[..., None], axis=1)
-        cache = [
-            {"self": _gather_beams(layer["self"], sel_beam, b, k),
-             "cross": layer["cross"]}
-            for layer in cache
-        ]
+        if use_ancestry:
+            # Compose this step's selection into the ancestry tensor (the
+            # caches themselves are append-only and never move); position
+            # i+1 is re-pinned to identity — next step's writer row is the
+            # new beam index by construction.
+            perm = (sel_beam[..., None] == jnp.arange(k)[None, None, :]
+                    ).astype(anc.dtype)  # [B, Knew, Kold]
+            anc = jnp.einsum("bnm,bmjt->bnjt", perm, anc)
+            anc = jax.lax.dynamic_update_slice(
+                anc, jnp.broadcast_to(eye_k[None, :, :, None], (b, k, k, 1)
+                                      ).astype(anc.dtype),
+                (0, 0, 0, i + 1))
+        else:
+            cache = [
+                {"self": _gather_beams(layer["self"], sel_beam, b, k),
+                 "cross": layer["cross"]}
+                for layer in cache
+            ]
 
         # ---- early-stop heuristic (pool can no longer improve) ----
         best_possible = run_scores[:, 0] / jnp.power(gen_len, lp)
@@ -197,11 +232,11 @@ def beam_search(
         heur_ok = heur_ok & (~pool_done | (best_possible > worst))
 
         return (i + 1, run_tokens, run_scores, pool_tokens, pool_scores,
-                heur_ok, cache), None
+                heur_ok, cache, anc), None
 
     state = (jnp.int32(n_prefix - 1), run_tokens, run_scores, pool_tokens,
-             pool_scores, heur_ok, cache)
+             pool_scores, heur_ok, cache, anc)
     state, _ = jax.lax.scan(body, state, None, length=max_len - n_prefix)
-    _, _, _, pool_tokens, pool_scores, _, _ = state
+    _, _, _, pool_tokens, pool_scores, _, _, _ = state
     # lax.top_k keeps the pool sorted best-first.
     return BeamResult(sequences=pool_tokens, scores=pool_scores)

@@ -15,8 +15,9 @@ TPU design (v2 — replaces the round-1 host-driven per-token loop):
   each through the remote-execution tunnel (CLAUDE.md), which made the v1
   loop orders of magnitude slower than the batched beam path;
 - beam search is supported (``beam_size`` >= 1; greedy == beam 1): within a
-  chunk the K beams evolve exactly as in ``decode/beam.py`` (one-hot-matmul
-  reorders, EOS freezing); at the chunk boundary the best beam is COMMITTED —
+  chunk the K beams evolve exactly as in ``decode/beam.py`` (append-only
+  ancestry-mask attention, EOS freezing); at the chunk boundary the best
+  beam is COMMITTED —
   its tokens and self-cache are broadcast to all K rows and the next chunk
   restarts the beam from that single hypothesis (standard streaming-beam
   "path commit": hypotheses cannot straddle a chunk boundary, which keeps
@@ -36,7 +37,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from mocov2_whisper_flamingo_tpu.decode.beam import NEG_INF, _gather_beams
+from mocov2_whisper_flamingo_tpu.decode.beam import NEG_INF
 from mocov2_whisper_flamingo_tpu.models import layers as L
 
 
@@ -124,14 +125,20 @@ class StreamingDecoder:
 
             scores = jnp.array([0.0] + [NEG_INF] * (k - 1), jnp.float32)
             done = jnp.zeros((k,), bool)
+            # Ancestry-mask beam attention (see decode/beam.py): caches are
+            # append-only within the chunk; the one physical gather happens
+            # at the commit below, amortized over the whole chunk.
+            eye_k = jnp.eye(k, dtype=jnp.float32)
+            anc0 = jnp.broadcast_to(eye_k[None, :, :, None], (1, k, k, l_)) + 0.0
 
             def body(state, _):
-                i, tokens, scores, done, cache = state
+                i, tokens, scores, done, cache, anc = state
                 done = done | (i > l_ - 2)  # no room to write at i+1
                 idx = jnp.minimum(i, l_ - 2)
                 cur = jax.lax.dynamic_slice(tokens, (0, idx), (k, 1))
                 logits, cache = decoder.decode_step(
-                    params, cur, cache, idx, encoder_valid=enc_valid)
+                    params, cur, cache, idx, encoder_valid=enc_valid,
+                    ancestry=anc)
                 logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
                 eos_only = jnp.full((v,), NEG_INF).at[eos].set(0.0)
                 logp = jnp.where(done[:, None], eos_only[None, :], logp)
@@ -148,33 +155,41 @@ class StreamingDecoder:
 
                 tokens = jnp.take_along_axis(tokens, beam_idx.T, axis=0)
                 done = jnp.take_along_axis(done[None], beam_idx, axis=1)[0]
-                cache = [
-                    {"self": _gather_beams(layer["self"], beam_idx, 1, k,
-                                           flatten=False),
-                     "cross": layer["cross"]}
-                    for layer in cache
-                ]
+                perm = (beam_idx[..., None] == jnp.arange(k)[None, None, :]
+                        ).astype(anc.dtype)  # [1, Knew, Kold]
+                anc = jnp.einsum("bnm,bmjt->bnjt", perm, anc)
+                anc = jax.lax.dynamic_update_slice(
+                    anc, jnp.broadcast_to(
+                        eye_k[None, :, :, None], (1, k, k, 1)).astype(anc.dtype),
+                    (0, 0, 0, idx + 1))
                 token_idx = jnp.where(done, eos, token_idx)
                 prev = jax.lax.dynamic_slice(tokens, (0, idx + 1), (k, 1))[:, 0]
                 written = jnp.where(i > l_ - 2, prev, token_idx)
                 tokens = jax.lax.dynamic_update_slice(
                     tokens, written[:, None], (0, idx + 1))
                 done = done | (token_idx == eos)
-                return (i + 1, tokens, top_scores[0], done, cache), None
+                return (i + 1, tokens, top_scores[0], done, cache, anc), None
 
-            state = (i0, tokens, scores, done, cache)
-            (i_end, tokens, scores, done, cache), _ = jax.lax.scan(
+            state = (i0, tokens, scores, done, cache, anc0)
+            (i_end, tokens, scores, done, cache, anc), _ = jax.lax.scan(
                 body, state, None, length=n_steps)
 
             # Commit the best beam (chunk-local length-normalized score).
+            # The chunk's ONLY physical cache gather happens here: beam
+            # ``best``'s per-position ancestry row A[j, t] selects its KV
+            # line out of the append-only cache, broadcast to all K rows so
+            # the next chunk restarts from one committed hypothesis.
             gen = jnp.sum(tokens != eos, axis=-1) - (i0 + 1)
             norm = scores / jnp.power(
                 jnp.maximum(gen, 1).astype(jnp.float32), lp_pow)
             best = jnp.argmax(norm)
-            bcast = jnp.full((1, k), best, jnp.int32)
             tokens = jnp.broadcast_to(tokens[best][None], (k, l_))
+            sel = anc[0, best]  # [J, T]: one-hot row choice per position
             self_caches = [
-                _gather_beams(layer["self"], bcast, 1, k, flatten=False)
+                {name: jnp.broadcast_to(
+                    jnp.einsum("jt,jthd->thd", sel.astype(buf.dtype), buf),
+                    buf.shape)
+                 for name, buf in layer["self"].items()}
                 for layer in cache]
 
             pos = jnp.arange(l_)

@@ -91,6 +91,47 @@ def _merge_heads(x: jnp.ndarray) -> jnp.ndarray:
     return x.reshape(b, t, h * dh)
 
 
+def _ancestry_attention(q, k, v, ancestry, cache_index):
+    """Single-query self-attention over an APPEND-ONLY beam cache.
+
+    Beam search normally reorders the KV cache every step so physical row n
+    holds beam n's history. On TPU that reorder is the dominant decode cost:
+    the one-hot matmul's output needs a relayout copy of every [B*K, L, 12,
+    64] leaf (~50 us x 24 kernels/step at L=160 — the trailing (12, 64)
+    dims tile-pad to (16, 128), so every repack moves 2.7x the logical
+    bytes). Here the cache is NEVER reordered; instead a tiny one-hot
+    ancestry tensor ``ancestry[b, n, j, t] = 1 iff beam n's token at
+    position t lives in physical row j`` (shared by all layers, ~64 KB) is
+    folded into the attention itself:
+
+        s[n, t] = q_n . K[A(n, t), t]  =  sum_j ancestry[n, j, t] *
+                                           (q_n . K[j, t])
+
+    The all-pairs scores cost K x more FLOPs than row-aligned attention,
+    which is noise at decode shapes, and the one-hot contraction is EXACT
+    (adds zeros), so decode results are bit-identical to the reordering
+    implementation.
+
+    q: [B*K, 1, H, Dh]; k, v: [B*K, L, H, Dh]; ancestry: [B, K, K, L].
+    Returns [B*K, 1, H, Dh].
+    """
+    bk, _, h, dh = q.shape
+    b, kk, _, l_ = ancestry.shape
+    q4 = q.reshape(b, kk, h, dh)
+    k5 = k.reshape(b, kk, *k.shape[1:])  # [B, J, L, H, Dh]
+    v5 = v.reshape(b, kk, *v.shape[1:])
+    anc = ancestry.astype(jnp.float32)
+    s_all = jnp.einsum("bnhd,bjthd->bnjht", q4, k5,
+                       preferred_element_type=jnp.float32)
+    s = jnp.einsum("bnjht,bnjt->bnht", s_all, anc) * (dh ** -0.5)
+    valid = jnp.arange(l_) <= cache_index
+    s = jnp.where(valid[None, None, None, :], s, -1e30)
+    p = jax.nn.softmax(s, axis=-1)
+    w = (p[:, :, None] * anc[:, :, :, None, :]).astype(q.dtype)  # [B,N,J,H,T]
+    out = jnp.einsum("bnjht,bjthd->bnhd", w, v5)
+    return out.reshape(bk, 1, h, dh)
+
+
 def attention_block(
     params: L.Params,
     x: jnp.ndarray,
@@ -102,12 +143,15 @@ def attention_block(
     cache_index: jnp.ndarray | None = None,
     precision: L.Precision = L.FP32,
     backend: str = "xla",
+    ancestry: jnp.ndarray | None = None,
 ) -> tuple[jnp.ndarray, dict | None]:
     """Multi-head attention with optional KV cache.
 
     cache (decode only): {"k": [B, Tmax, H, Dh], "v": ...}. For self-attn the
     new K/V are written at ``cache_index``; for cross-attn the cache holds the
-    precomputed encoder K/V and is used as-is.
+    precomputed encoder K/V and is used as-is. ``ancestry`` switches the
+    cached self-attention to the append-only beam layout (see
+    ``_ancestry_attention``).
     """
     src = x if kv_source is None else kv_source
     fused_self = "qkv" in params and kv_source is None
@@ -137,6 +181,10 @@ def attention_block(
             k = jax.lax.dynamic_update_slice(cache["k"], k.astype(cache["k"].dtype), (0, cache_index, 0, 0))
             v = jax.lax.dynamic_update_slice(cache["v"], v.astype(cache["v"].dtype), (0, cache_index, 0, 0))
             new_cache = {"k": k, "v": v}
+            if ancestry is not None:
+                out = _ancestry_attention(q, k, v, ancestry, cache_index)
+                return (L.linear(params["out"], _merge_heads(out), precision),
+                        new_cache)
             # Only positions < cache_index + q_len are valid.
             t_max = k.shape[1]
             pos = jnp.arange(t_max)[None, :]
@@ -386,9 +434,12 @@ class WhisperDecoder:
         cache: list[dict],
         index: jnp.ndarray,
         encoder_valid: jnp.ndarray | None = None,
+        ancestry: jnp.ndarray | None = None,
     ) -> tuple[jnp.ndarray, list[dict]]:
         """One decode step. tokens: [B, 1] current token ids; index: scalar
-        int32 position. Returns (logits [B, V], updated cache)."""
+        int32 position. ``ancestry`` [B, K, K, L]: append-only beam-cache
+        attention (see ``_ancestry_attention``). Returns (logits [B, V],
+        updated cache)."""
         cfg, prec = self.config, self.precision
         x = L.embed(params["embed_tokens"], tokens)
         x = x + jax.lax.dynamic_slice_in_dim(params["pos_embed"], index, 1, axis=0)
@@ -398,7 +449,8 @@ class WhisperDecoder:
             h, new_self = attention_block(
                 lp["self_attn"], L.layer_norm(lp["self_attn_ln"], x),
                 n_heads=cfg.n_heads, cache=layer_cache["self"], cache_index=index,
-                precision=prec, backend="xla")  # single-query step: XLA path
+                precision=prec, backend="xla",  # single-query step: XLA path
+                ancestry=ancestry)
             x = x + h
             h = self._cross_step(lp, x, layer_cache["cross"], encoder_valid, prec)
             x = x + h

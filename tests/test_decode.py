@@ -270,3 +270,18 @@ def test_streaming_deferred_collect(setup):
     assert lazy.process_chunk(chunk_b, collect=False) == []
     assert lazy.collected_tokens() == eager.tokens
     assert lazy.tokens == eager.tokens
+
+
+def test_ancestry_matches_reorder(setup):
+    """Append-only ancestry-mask attention (use_ancestry=True, default) is a
+    pure reimplementation of physical cache reordering: token-exact, scores
+    equal to fp tolerance."""
+    dec, params, enc_out = setup
+    a = beam_search(dec, params, enc_out, PREFIX, beam_size=4, max_len=16,
+                    eos_id=EOS, use_ancestry=True)
+    r = beam_search(dec, params, enc_out, PREFIX, beam_size=4, max_len=16,
+                    eos_id=EOS, use_ancestry=False)
+    np.testing.assert_array_equal(np.asarray(a.sequences),
+                                  np.asarray(r.sequences))
+    np.testing.assert_allclose(np.asarray(a.scores), np.asarray(r.scores),
+                               rtol=1e-6)
