@@ -63,7 +63,25 @@ def batch_norm_inference(params: dict, x: jnp.ndarray, eps: float = 1e-5) -> jnp
     return x * w + b
 
 
+def _fold_bn(conv: dict, bn: dict, eps: float = 1e-5):
+    """Fold frozen-BN affine into the conv kernel (exact: BN after a conv is
+    a per-output-channel affine, which commutes into the kernel). Folding in
+    fp32 then casting once matches the unfolded numerics to bf16 rounding.
+
+    The backbone is frozen (reference: av_net.py:45-46), so this is pure
+    algebra, and it matters on TPU: BN-as-elementwise materialized a full
+    activation round-trip per conv (the conv custom call cannot fuse
+    consumers) — ~8.5 ms/batch of pure elementwise traffic at bench shapes.
+    """
+    inv = jax.lax.rsqrt(bn["var"].astype(jnp.float32) + eps)
+    s = bn["scale"].astype(jnp.float32) * inv
+    b = bn["bias"].astype(jnp.float32) - bn["mean"].astype(jnp.float32) * s
+    w = conv["kernel"].astype(jnp.float32) * s  # broadcast over out-channels
+    return w, b
+
+
 def _conv2d(params: dict, x: jnp.ndarray, stride: int, precision: L.Precision) -> jnp.ndarray:
+    """Plain NHWC conv (no BN fold) — the torch-parity-tested primitive."""
     w = precision.cast(params["kernel"])
     kh = w.shape[0]
     pad = (kh - 1) // 2
@@ -74,6 +92,28 @@ def _conv2d(params: dict, x: jnp.ndarray, stride: int, precision: L.Precision) -
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
         preferred_element_type=w.dtype,
     )
+
+
+def _conv2d_bn(conv: dict, bn: dict, x: jnp.ndarray, stride: int,
+               precision: L.Precision) -> jnp.ndarray:
+    """conv + folded frozen BN. 1x1 kernels run as a single matmul over
+    [N*H*W, C] — XLA fuses the bias (and any following relu/residual) into
+    the dot epilogue and keeps matmul-native layouts, where the TPU
+    convolution custom call would materialize each elementwise consumer and
+    often insert relayout copies."""
+    w, b = _fold_bn(conv, bn)
+    w = precision.cast(w)
+    b = precision.cast(b)
+    kh = w.shape[0]
+    if kh == 1:
+        x = precision.cast(x)
+        if stride != 1:
+            x = x[:, ::stride, ::stride]  # 1x1 conv + stride == subsample
+        n, h_, w_, c = x.shape
+        out = jnp.matmul(x.reshape(n * h_ * w_, c), w[0, 0],
+                         preferred_element_type=w.dtype)
+        return out.reshape(n, h_, w_, -1) + b
+    return _conv2d({"kernel": w}, x, stride, precision) + b
 
 
 class ResNet50Body:
@@ -120,15 +160,12 @@ class ResNet50Body:
                     continue
                 s = stride if b == 0 else 1
                 identity = x
-                h = _conv2d(block["conv1"], x, 1, prec)
-                h = jax.nn.relu(batch_norm_inference(block["bn1"], h))
-                h = _conv2d(block["conv2"], h, s, prec)
-                h = jax.nn.relu(batch_norm_inference(block["bn2"], h))
-                h = _conv2d(block["conv3"], h, 1, prec)
-                h = batch_norm_inference(block["bn3"], h)
+                h = jax.nn.relu(_conv2d_bn(block["conv1"], block["bn1"], x, 1, prec))
+                h = jax.nn.relu(_conv2d_bn(block["conv2"], block["bn2"], h, s, prec))
+                h = _conv2d_bn(block["conv3"], block["bn3"], h, 1, prec)
                 if "downsample" in block:
-                    identity = _conv2d(block["downsample"]["conv"], identity, s, prec)
-                    identity = batch_norm_inference(block["downsample"]["bn"], identity)
+                    identity = _conv2d_bn(block["downsample"]["conv"],
+                                          block["downsample"]["bn"], identity, s, prec)
                 x = jax.nn.relu(h + identity)
         return jnp.mean(x, axis=(1, 2))  # global average pool -> [N, 2048]
 
@@ -159,7 +196,8 @@ class MoCoVisualFrontend:
         prec = self.precision
         b, t = video.shape[0], video.shape[1]
         x = jnp.transpose(video, (0, 1, 3, 4, 2))  # [B, T, H, W, C] channels-last
-        w = prec.cast(params["stem_conv"]["kernel"])
+        w, bias = _fold_bn(params["stem_conv"], params["stem_bn"])
+        w = prec.cast(w)
         x = jax.lax.conv_general_dilated(
             prec.cast(x), w,
             window_strides=(1, 2, 2),
@@ -167,7 +205,7 @@ class MoCoVisualFrontend:
             dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
             preferred_element_type=w.dtype,
         )
-        x = jax.nn.relu(batch_norm_inference(params["stem_bn"], x))
+        x = jax.nn.relu(x + prec.cast(bias))
         # MaxPool3d k=(1,3,3) s=(1,2,2) p=(0,1,1)
         x = jax.lax.reduce_window(
             x, -jnp.inf, jax.lax.max,

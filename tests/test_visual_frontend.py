@@ -145,3 +145,26 @@ def test_moco_converter_key_mapping(rng):
     np.testing.assert_allclose(
         np.asarray(out["layer2"][0]["conv1"]["kernel"]),
         np.asarray(init["layer2"][0]["conv1"]["kernel"]))
+
+
+def test_conv2d_bn_fold_matches_unfolded(rng):
+    """_conv2d_bn (BN folded into the kernel; 1x1 kernels as matmuls) must
+    match conv-then-BN to fp tolerance, including the strided-1x1
+    (downsample) subsample path."""
+    from mocov2_whisper_flamingo_tpu.models.visual_frontend import _conv2d_bn
+
+    for kh, stride in [(1, 1), (1, 2), (3, 1), (3, 2)]:
+        c_in, c_out = 8, 16
+        conv = {"kernel": jnp.asarray(rng.standard_normal((kh, kh, c_in, c_out)), jnp.float32) * 0.1}
+        bn = {
+            "scale": jnp.asarray(rng.standard_normal(c_out), jnp.float32) * 0.5 + 1.0,
+            "bias": jnp.asarray(rng.standard_normal(c_out), jnp.float32),
+            "mean": jnp.asarray(rng.standard_normal(c_out), jnp.float32) * 0.1,
+            "var": jnp.asarray(rng.random(c_out), jnp.float32) + 0.5,
+        }
+        x = jnp.asarray(rng.standard_normal((2, 12, 12, c_in)), jnp.float32)
+        ref = batch_norm_inference(bn, _conv2d(conv, x, stride, L.FP32))
+        got = _conv2d_bn(conv, bn, x, stride, L.FP32)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   rtol=2e-5, atol=2e-5,
+                                   err_msg=f"kh={kh} stride={stride}")
