@@ -186,12 +186,82 @@ def bench_streaming(net, params) -> float:
     return STREAM_CHUNKS * SECONDS_PER_CLIP / dt
 
 
+def bench_train(b: int = 4, iters: int = 5) -> dict:
+    """Training-step throughput (opt-in via --train): joint CTC+CE step on
+    the reference-parity AVNet (frozen whisper-small encoder + frozen MoCo
+    ResNet-50 + trainable fusion; reference: train.py:143-170) with AdamW,
+    fwd+bwd+update in one jit. Reports ms/step, clips/sec, and MFU."""
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from mocov2_whisper_flamingo_tpu.models import layers as L
+    from mocov2_whisper_flamingo_tpu.models.av_net import AVNet
+    from mocov2_whisper_flamingo_tpu.training.task import AVSRTask
+
+    net = AVNet("audiovisual", None, 96, (512, 8, 6, 3000, 2048, 0.1), 51865,
+                precision=L.BF16)
+    params = net.init(jax.random.PRNGKey(0))
+    task = AVSRTask(net)
+    optimizer = optax.adamw(1e-4, b1=0.9, b2=0.98, eps=1e-6, weight_decay=0.01)
+    opt_state = optimizer.init(params)
+    rng = np.random.default_rng(0)
+    l_tgt = 64
+    batch = {
+        "audio": jnp.asarray(rng.standard_normal((b, 3000, 80)), jnp.float32),
+        "audio_mask": jnp.ones((b, 3000), bool),
+        "video": jnp.asarray(rng.standard_normal((b, T_VIDEO, 3, 64, 64)),
+                             jnp.float32),
+        "video_mask": jnp.ones((b, T_VIDEO), bool),
+        "video_lengths": jnp.full((b,), T_VIDEO, jnp.int32),
+        "target_ids": jnp.asarray(rng.integers(1, 51000, (b, l_tgt)), jnp.int32),
+        "target_lengths": jnp.full((b,), l_tgt, jnp.int32),
+        "audio_lengths": jnp.full((b,), T_VIDEO, jnp.int32),
+    }
+    step = jax.jit(task.make_train_step(optimizer))
+    key = jax.random.PRNGKey(1)
+    p2, o2, losses = step(params, opt_state, batch, key)
+    jax_block(losses)
+    flops = None
+    try:
+        cost = step.lower(params, opt_state, batch, key).compile().cost_analysis()
+        if isinstance(cost, (list, tuple)):
+            cost = cost[0]
+        flops = float(cost.get("flops", 0.0)) or None
+    except Exception:
+        pass
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        p2, o2, losses = step(p2, o2, batch, key)
+    jax_block(losses)
+    dt = (time.perf_counter() - t0) / iters
+    return {
+        "train_ms_per_step": dt * 1e3,
+        "train_clips_per_sec": b / dt,
+        "train_mfu_pct": (flops / dt / PEAK_BF16_FLOPS * 100.0) if flops else None,
+        "loss": float(np.asarray(losses["loss"])),
+    }
+
+
 def main() -> None:
     parser = argparse.ArgumentParser()
     parser.add_argument("--sizes", default="small",
                         help="comma list: small,medium,large-v2")
     parser.add_argument("--no-streaming", action="store_true")
+    parser.add_argument("--train", action="store_true",
+                        help="bench the training step instead of decode")
     args = parser.parse_args()
+
+    if args.train:
+        r = bench_train()
+        print(json.dumps({
+            "metric": "AVNet joint CTC+CE train step (B=4, fwd+bwd+AdamW)",
+            "value": round(r["train_ms_per_step"], 2),
+            "unit": "ms/step",
+            "clips_per_sec": round(r["train_clips_per_sec"], 2),
+            "mfu_pct": r["train_mfu_pct"] and round(r["train_mfu_pct"], 2),
+        }))
+        return
     sizes = [s.strip() for s in args.sizes.split(",") if s.strip()]
 
     result = None

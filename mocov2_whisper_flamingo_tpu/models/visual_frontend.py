@@ -94,18 +94,25 @@ def _conv2d(params: dict, x: jnp.ndarray, stride: int, precision: L.Precision) -
     )
 
 
+# Run 1x1 convs as [N*H*W, C] matmuls (dot-epilogue fusion of bias/relu).
+# Default OFF: the matmul-specialized program was observed to FAULT the TPU
+# worker on the axon backend (kernel fault -> ~30 min tunnel recovery),
+# while the plain-conv formulation runs fine. Re-enable only after
+# validating on the target runtime.
+USE_MATMUL_1X1 = False
+
+
 def _conv2d_bn(conv: dict, bn: dict, x: jnp.ndarray, stride: int,
                precision: L.Precision) -> jnp.ndarray:
-    """conv + folded frozen BN. 1x1 kernels run as a single matmul over
-    [N*H*W, C] — XLA fuses the bias (and any following relu/residual) into
-    the dot epilogue and keeps matmul-native layouts, where the TPU
-    convolution custom call would materialize each elementwise consumer and
-    often insert relayout copies."""
+    """conv + folded frozen BN (one bias add instead of a BN elementwise
+    pass per conv). With ``USE_MATMUL_1X1``, 1x1 kernels run as a single
+    matmul over [N*H*W, C] so XLA can fuse the bias/relu into the dot
+    epilogue (the TPU convolution custom call cannot fuse consumers)."""
     w, b = _fold_bn(conv, bn)
     w = precision.cast(w)
     b = precision.cast(b)
     kh = w.shape[0]
-    if kh == 1:
+    if kh == 1 and USE_MATMUL_1X1:
         x = precision.cast(x)
         if stride != 1:
             x = x[:, ::stride, ::stride]  # 1x1 conv + stride == subsample
