@@ -119,7 +119,6 @@ def beam_search(
     k2 = 2 * k
     prefix = jnp.asarray(prefix_ids, dtype=jnp.int32)
     n_prefix = int(prefix.shape[0])
-    v = decoder.config.vocab_size
     lp = float(length_penalty)
 
     # Self caches get B*K rows; the cross K/V stays B-major (beam rows would
