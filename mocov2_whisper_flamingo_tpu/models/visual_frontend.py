@@ -205,24 +205,37 @@ class MoCoVisualFrontend:
         x = jnp.transpose(video, (0, 1, 3, 4, 2))  # [B, T, H, W, C] channels-last
         w, bias = _fold_bn(params["stem_conv"], params["stem_bn"])
         w = prec.cast(w)
+        x = prec.cast(x)
+        # Conv3d(k=(5,3,3), s=(1,2,2), p=(2,3,3)) expressed as a 2D conv
+        # over time-unfolded features: out[t] = sum_kd conv2d(x[t+kd-2],
+        # w[kd]) == conv2d(concat_kd x[t+kd-2], w_folded). Exact same math;
+        # the NDHWC Conv3d lowering on TPU inserted ~3.6 ms of relayout
+        # copies around the conv, while NHWC 2D convs (the ResNet body's
+        # bread and butter) lower clean. Feature order is kd-major/cin-minor
+        # on both sides.
+        kd = w.shape[0]
+        xp = jnp.pad(x, ((0, 0), (kd // 2, kd // 2), (0, 0), (0, 0), (0, 0)))
+        x5 = jnp.concatenate([xp[:, dt:dt + t] for dt in range(kd)], axis=-1)
+        kh, kw = w.shape[1], w.shape[2]
+        w2 = w.transpose(1, 2, 0, 3, 4).reshape(kh, kw, kd * w.shape[3], -1)
+        hh, ww = x5.shape[2], x5.shape[3]
         x = jax.lax.conv_general_dilated(
-            prec.cast(x), w,
-            window_strides=(1, 2, 2),
-            padding=[(2, 2), (3, 3), (3, 3)],
-            dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
+            x5.reshape(b * t, hh, ww, x5.shape[-1]), w2,
+            window_strides=(2, 2),
+            padding=[(3, 3), (3, 3)],
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
             preferred_element_type=w.dtype,
         )
         x = jax.nn.relu(x + prec.cast(bias))
-        # MaxPool3d k=(1,3,3) s=(1,2,2) p=(0,1,1)
+        # MaxPool3d k=(1,3,3) s=(1,2,2) p=(0,1,1) — time window is 1, so the
+        # 2D pool over the folded [B*T] batch is identical.
         x = jax.lax.reduce_window(
             x, -jnp.inf, jax.lax.max,
-            window_dimensions=(1, 1, 3, 3, 1),
-            window_strides=(1, 1, 2, 2, 1),
-            padding=((0, 0), (0, 0), (1, 1), (1, 1), (0, 0)),
+            window_dimensions=(1, 3, 3, 1),
+            window_strides=(1, 2, 2, 1),
+            padding=((0, 0), (1, 1), (1, 1), (0, 0)),
         )
-        # Fold time into batch: one large conv batch for the 2D body.
-        _, _, h, wd, c = x.shape
-        feats = self.body.apply(params["body"], x.reshape(b * t, h, wd, c))
+        feats = self.body.apply(params["body"], x)
         feats = feats.reshape(b, t, self.OUT_DIM)
         # Zero features past each sequence's length (reference:
         # moco_visual_frontend.py:42,49).

@@ -177,3 +177,29 @@ def test_conv2d_bn_fold_matches_unfolded(rng):
                                    rtol=2e-5, atol=2e-5,
                                    err_msg=f"conv path kh={kh} stride={stride}")
     vf.USE_MATMUL_1X1 = False
+
+
+def test_stem_time_unfold_matches_conv3d(rng):
+    """The stem's time-unfolded 2D-conv formulation (apply path) must equal
+    the direct Conv3d it replaces, bit-for-fp-tolerance, including the
+    temporal zero padding at clip edges."""
+    b, t, h, w = 2, 6, 16, 16
+    video = rng.standard_normal((b, t, 3, h, w)).astype(np.float32)
+    kernel = (rng.standard_normal((5, 3, 3, 3, 64)).astype(np.float32) * 0.1)
+
+    x = jnp.transpose(jnp.asarray(video), (0, 1, 3, 4, 2))
+    ref = jax.lax.conv_general_dilated(
+        x, jnp.asarray(kernel), window_strides=(1, 2, 2),
+        padding=[(2, 2), (3, 3), (3, 3)],
+        dimension_numbers=("NDHWC", "DHWIO", "NDHWC"))
+
+    xp = jnp.pad(x, ((0, 0), (2, 2), (0, 0), (0, 0), (0, 0)))
+    x5 = jnp.concatenate([xp[:, dt:dt + t] for dt in range(5)], axis=-1)
+    w2 = jnp.asarray(kernel).transpose(1, 2, 0, 3, 4).reshape(3, 3, 15, 64)
+    hh, ww = x5.shape[2], x5.shape[3]
+    got = jax.lax.conv_general_dilated(
+        x5.reshape(b * t, hh, ww, 15), w2, window_strides=(2, 2),
+        padding=[(3, 3), (3, 3)], dimension_numbers=("NHWC", "HWIO", "NHWC"))
+    got = got.reshape(b, t, *got.shape[1:])
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               atol=1e-4, rtol=1e-4)
