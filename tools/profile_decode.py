@@ -53,8 +53,10 @@ def main() -> None:
     decode(dec_params, feats, valid).block_until_ready()  # compile
 
     t0 = time.perf_counter()
-    decode(dec_params, feats, valid).block_until_ready()
-    per_step_ms = (time.perf_counter() - t0) * 1e3 / args.steps
+    for _ in range(3):
+        out = decode(dec_params, feats, valid)
+    out.block_until_ready()
+    per_step_ms = (time.perf_counter() - t0) * 1e3 / 3 / args.steps
     print(f"decode: {per_step_ms:.3f} ms/step ({args.steps} steps, "
           f"B={B} K={BEAM})")
 
