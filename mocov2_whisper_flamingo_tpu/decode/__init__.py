@@ -9,4 +9,5 @@ capability built here.
 
 from mocov2_whisper_flamingo_tpu.decode.greedy import greedy_decode  # noqa: F401
 from mocov2_whisper_flamingo_tpu.decode.beam import beam_search  # noqa: F401
+from mocov2_whisper_flamingo_tpu.decode.logit_rules import LogitRules  # noqa: F401
 from mocov2_whisper_flamingo_tpu.decode.streaming import StreamingDecoder  # noqa: F401

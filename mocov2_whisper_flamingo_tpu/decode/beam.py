@@ -104,6 +104,7 @@ def beam_search(
     encoder_valid: jnp.ndarray | None = None,
     early_stopping: bool = False,
     use_ancestry: bool = True,
+    logit_rules=None,
 ) -> BeamResult:
     """Batched beam search; returns the K best finished hypotheses per
     example, best first. EOS-terminated hypotheses include their EOS; the
@@ -113,7 +114,12 @@ def beam_search(
     append-only and a one-hot ancestry tensor is folded into the attention
     (models/whisper.py ``_ancestry_attention``) instead of physically
     reordering every cache leaf each step — bit-identical results. False
-    falls back to the classic cache-reordering search."""
+    falls back to the classic cache-reordering search.
+
+    ``logit_rules``: optional ``decode.logit_rules.LogitRules`` — HF-default
+    Whisper decode semantics (suppress/begin-suppress/forced tokens,
+    timestamp grammar), applied to the log-softmaxed scores each step
+    exactly where HF's logits processors run in its beam loop."""
     b = encoder_out.shape[0]
     k = beam_size
     k2 = 2 * k
@@ -162,6 +168,9 @@ def beam_search(
                                             encoder_valid=enc_valid,
                                             ancestry=anc)
         logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+        if logit_rules is not None:
+            logp = logit_rules(logp, run_tokens.reshape(b * k, max_len),
+                               i + 1, n_prefix)
         # Two-stage expansion: per-beam top-2K over the vocab, then top-2K
         # over the K*2K union. Every global top-2K candidate is inside its
         # own beam's top-2K, so this is exact — and it avoids flattening

@@ -20,11 +20,16 @@ def greedy_decode(
     max_len: int = 224,
     eos_id: int = 0,
     encoder_valid: jnp.ndarray | None = None,
+    logit_rules=None,
 ) -> jnp.ndarray:
     """Returns token ids [B, max_len] (prefix included, EOS-padded).
 
     decoder: a WhisperDecoder-like object with ``init_cache``/``decode_step``.
     prefix_ids: list/array of forced prefix tokens (same for the batch).
+    logit_rules: optional ``decode.logit_rules.LogitRules`` applied to the
+    step logits before the argmax (HF applies its processors to raw logits
+    in greedy mode — masking/forcing commutes with argmax, so sharing one
+    rules object with the beam path is exact).
     """
     b = encoder_out.shape[0]
     prefix = jnp.asarray(prefix_ids, dtype=jnp.int32)
@@ -40,6 +45,8 @@ def greedy_decode(
         cur = jax.lax.dynamic_slice(tokens, (0, i), (b, 1))
         logits, cache = decoder.decode_step(params, cur, cache, i,
                                             encoder_valid=encoder_valid)
+        if logit_rules is not None:
+            logits = logit_rules(logits, tokens, i + 1, int(n_prefix))
         nxt = jnp.argmax(logits, axis=-1).astype(jnp.int32)  # [B]
         # Within the forced prefix, the "prediction" is the next prefix token.
         in_prefix = (i + 1) < n_prefix

@@ -136,3 +136,159 @@ def test_greedy_matches_hf_generate(oracle):
     if pad > 0:
         hf = np.pad(hf, ((0, 0), (0, pad)), constant_values=EOS)
     np.testing.assert_array_equal(ours, hf)
+
+
+# ---------------------------------------------------------------------------
+# Decode-time logit rules (suppress / begin-suppress / forced / timestamps)
+# vs the HF processors that real-weight Whisper decoding applies by default.
+# ---------------------------------------------------------------------------
+
+from mocov2_whisper_flamingo_tpu.decode import LogitRules
+
+SUPPRESS = (5, 17, 42, 73)        # suppressed at every step
+BEGIN_SUPPRESS = (2, 30)          # suppressed at the first generated position
+                                  # (includes EOS=2, HF whisper-style)
+
+
+def test_beam_matches_hf_with_suppression(oracle):
+    model, dec_params, features = oracle
+    gc = transformers.GenerationConfig(
+        num_beams=5, num_return_sequences=5, max_new_tokens=MAX_NEW,
+        min_new_tokens=0, do_sample=False, length_penalty=1.0,
+        eos_token_id=EOS, pad_token_id=EOS, decoder_start_token_id=1,
+        suppress_tokens=list(SUPPRESS),
+        begin_suppress_tokens=list(BEGIN_SUPPRESS),
+        output_scores=True, return_dict_in_generate=True, use_cache=True,
+    )
+    from transformers.generation import GenerationMixin
+    from transformers.modeling_outputs import BaseModelOutput
+    with torch.no_grad():
+        out = GenerationMixin.generate(
+            model, decoder_input_ids=torch.tensor([PREFIX] * B),
+            encoder_outputs=BaseModelOutput(
+                last_hidden_state=torch.from_numpy(features)),
+            generation_config=gc)
+    hf_seq = out.sequences.reshape(B, 5, -1).numpy()
+    pad = MAX_LEN - hf_seq.shape[-1]
+    if pad > 0:
+        hf_seq = np.pad(hf_seq, ((0, 0), (0, 0), (0, pad)), constant_values=EOS)
+
+    rules = LogitRules(vocab_size=CFG.vocab_size, suppress=SUPPRESS,
+                       begin_suppress=BEGIN_SUPPRESS, eos_id=EOS)
+    dec = WhisperDecoder(CFG)
+    res = beam_search(dec, dec_params, jnp.asarray(features), PREFIX,
+                      beam_size=5, max_len=MAX_LEN, eos_id=EOS,
+                      logit_rules=rules)
+    ours = np.asarray(res.sequences)
+    np.testing.assert_array_equal(ours, hf_seq)
+    assert not np.isin(ours[:, :, len(PREFIX):], SUPPRESS).any()
+
+
+def test_greedy_matches_hf_with_suppression(oracle):
+    model, dec_params, features = oracle
+    from transformers.generation import GenerationMixin
+    from transformers.modeling_outputs import BaseModelOutput
+    gc = transformers.GenerationConfig(
+        num_beams=1, max_new_tokens=MAX_NEW, do_sample=False,
+        eos_token_id=EOS, pad_token_id=EOS, decoder_start_token_id=1,
+        suppress_tokens=list(SUPPRESS),
+        begin_suppress_tokens=list(BEGIN_SUPPRESS), use_cache=True,
+    )
+    with torch.no_grad():
+        hf = GenerationMixin.generate(
+            model, decoder_input_ids=torch.tensor([PREFIX] * B),
+            encoder_outputs=BaseModelOutput(
+                last_hidden_state=torch.from_numpy(features)),
+            generation_config=gc).numpy()
+    pad = MAX_LEN - hf.shape[-1]
+    if pad > 0:
+        hf = np.pad(hf, ((0, 0), (0, pad)), constant_values=EOS)
+
+    rules = LogitRules(vocab_size=CFG.vocab_size, suppress=SUPPRESS,
+                       begin_suppress=BEGIN_SUPPRESS, eos_id=EOS)
+    dec = WhisperDecoder(CFG)
+    ours = np.asarray(greedy_decode(dec, dec_params, jnp.asarray(features),
+                                    PREFIX, MAX_LEN, EOS, logit_rules=rules))
+    np.testing.assert_array_equal(ours, hf)
+
+
+def test_forced_tokens_equal_prefix_extension():
+    """Forced positions (HF ForceTokensLogitsProcessor semantics: -inf
+    everywhere, 0.0 at the forced id) must decode exactly like teacher-
+    forcing those tokens as prefix — greedy path, where score bookkeeping
+    is irrelevant."""
+    import jax
+
+    dec = WhisperDecoder(CFG)
+    params = dec.init(jax.random.PRNGKey(0))
+    rng = np.random.default_rng(11)
+    features = jnp.asarray(rng.standard_normal(
+        (3, CFG.max_source_positions, CFG.d_model)).astype(np.float32))
+
+    forced = ((2, 33), (3, 44))  # positions right after PREFIX=[1, 7]
+    rules = LogitRules(vocab_size=CFG.vocab_size, forced=forced, eos_id=EOS)
+    with_rules = np.asarray(greedy_decode(
+        dec, params, features, PREFIX, MAX_LEN, EOS, logit_rules=rules))
+    as_prefix = np.asarray(greedy_decode(
+        dec, params, features, PREFIX + [33, 44], MAX_LEN, EOS))
+    np.testing.assert_array_equal(with_rules, as_prefix)
+
+
+NO_TS = 89          # <|notimestamps|> stand-in; timestamps are ids 90..99
+MAX_INITIAL_TS = 6
+
+
+def _ts_generation_config(num_beams):
+    return transformers.GenerationConfig(
+        num_beams=num_beams, num_return_sequences=num_beams,
+        max_new_tokens=MAX_NEW, min_new_tokens=0, do_sample=False,
+        length_penalty=1.0, eos_token_id=EOS, pad_token_id=EOS,
+        decoder_start_token_id=1, use_cache=True,
+        return_dict_in_generate=True, output_scores=True,
+    )
+
+
+@pytest.mark.parametrize("num_beams", [1, 4])
+def test_timestamp_rules_match_hf(oracle, num_beams):
+    """Full Whisper timestamp grammar vs HF WhisperTimeStampLogitsProcessor
+    (pairing, non-decreasing, initial-timestamp cap, logprob detection)."""
+    model, dec_params, features = oracle
+    from transformers.generation import GenerationMixin
+    from transformers.generation.logits_process import (
+        LogitsProcessorList, WhisperTimeStampLogitsProcessor)
+    from transformers.modeling_outputs import BaseModelOutput
+
+    gc = _ts_generation_config(num_beams)
+    gc.no_timestamps_token_id = NO_TS
+    gc.max_initial_timestamp_index = MAX_INITIAL_TS
+    ts_proc = WhisperTimeStampLogitsProcessor(gc, begin_index=len(PREFIX))
+    with torch.no_grad():
+        out = GenerationMixin.generate(
+            model, decoder_input_ids=torch.tensor([PREFIX] * B),
+            encoder_outputs=BaseModelOutput(
+                last_hidden_state=torch.from_numpy(features)),
+            generation_config=gc,
+            logits_processor=LogitsProcessorList([ts_proc]))
+    hf_seq = out.sequences.reshape(B, num_beams, -1).numpy()
+    pad = MAX_LEN - hf_seq.shape[-1]
+    if pad > 0:
+        hf_seq = np.pad(hf_seq, ((0, 0), (0, 0), (0, pad)),
+                        constant_values=EOS)
+
+    rules = LogitRules(vocab_size=CFG.vocab_size, eos_id=EOS,
+                       timestamp_begin=NO_TS + 1, no_timestamps_id=NO_TS,
+                       max_initial_timestamp_index=MAX_INITIAL_TS)
+    dec = WhisperDecoder(CFG)
+    if num_beams == 1:
+        ours = np.asarray(greedy_decode(
+            dec, dec_params, jnp.asarray(features), PREFIX, MAX_LEN, EOS,
+            logit_rules=rules))[:, None]
+    else:
+        ours = np.asarray(beam_search(
+            dec, dec_params, jnp.asarray(features), PREFIX, beam_size=num_beams,
+            max_len=MAX_LEN, eos_id=EOS, logit_rules=rules).sequences)
+    np.testing.assert_array_equal(ours, hf_seq)
+    # sanity: the grammar actually fired — first generated token is a
+    # timestamp within the initial cap
+    first = ours[:, :, len(PREFIX)]
+    assert ((first >= NO_TS + 1) & (first <= NO_TS + 1 + MAX_INITIAL_TS)).all()
