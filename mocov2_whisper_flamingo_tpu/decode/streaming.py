@@ -28,7 +28,21 @@ TPU design (v2 — replaces the round-1 host-driven per-token loop):
   key positions ``>= cache_index + 1`` (models/whisper.py decode path). The
   per-position self K/V depends only on (token id, position) at layer 0 and
   on the *then-active* chunk's encoder context at deeper layers — the latter
-  is precisely the persistent-context semantics this decoder implements.
+  is precisely the persistent-context semantics this decoder implements;
+- **window rollover** (v3): the decoder's learned PE and token buffer cap a
+  window at ``max_len`` (448 for real Whisper) — real Whisper long-form
+  decoding restarts the decoder context per window, optionally conditioning
+  on the previous text (openai ``condition_on_previous_text`` /
+  HF ``prompt_ids`` semantics). Here, when the NEXT chunk could overflow
+  the buffer (tracked host-side as a conservative bound — no extra device
+  sync), the window is committed (one sync, amortized over ~(max_len /
+  max_tokens_per_chunk) chunks), the decoder state is reset, and the next
+  chunk re-primes with ``<|startofprev|> + last context_tokens of
+  committed text + prefix`` against ITS OWN encoder output — so the
+  transcript continues unbounded with constant device state. Steps past
+  buffer exhaustion (only reachable with ``rollover=False``) are true
+  no-ops: the cache write is gated (models/whisper.py ``write_gate``), so
+  the committed self-cache can never hold a wrong beam's K/V.
 """
 
 from __future__ import annotations
@@ -64,11 +78,26 @@ class StreamingDecoder:
     ``beam_size=1`` is greedy; ``beam_size>1`` runs chunk-local beam search
     with best-path commit at each chunk boundary. All decode work per chunk
     is a single compiled dispatch.
+
+    ``rollover`` (default True): when the next chunk could overflow the
+    ``max_len`` token/PE budget, commit the window and restart the decoder
+    context, re-priming with ``sot_prev_id`` + the last ``context_tokens``
+    committed text tokens + the prefix (Whisper's
+    condition_on_previous_text window-restart semantics;
+    ``context_tokens=0`` restarts from the bare prefix). The transcript
+    then grows without bound while device state stays constant. With
+    ``rollover=False`` decoding hard-stops at ``max_len`` tokens.
+
+    ``logit_rules``: optional ``decode.logit_rules.LogitRules`` applied
+    inside each chunk's scan; begin-index rules fire at each window's first
+    generated position (matching HF's per-window processor reset).
     """
 
     def __init__(self, decoder, params: dict, prefix_ids, max_len: int = 448,
                  eos_id: int = 0, max_tokens_per_chunk: int = 64,
-                 beam_size: int = 1, length_penalty: float = 1.0):
+                 beam_size: int = 1, length_penalty: float = 1.0,
+                 rollover: bool = True, context_tokens: int = 0,
+                 sot_prev_id: int | None = None, logit_rules=None):
         self.decoder = decoder
         self.params = params
         self.prefix_ids = [int(t) for t in prefix_ids]
@@ -77,31 +106,48 @@ class StreamingDecoder:
         self.max_tokens_per_chunk = max_tokens_per_chunk
         self.beam_size = beam_size
         self.length_penalty = length_penalty
+        self.rollover = rollover
+        self.context_tokens = context_tokens
+        self.sot_prev_id = sot_prev_id
+        self.logit_rules = logit_rules
         self._fns: dict = {}
         self.reset()
 
     def reset(self) -> None:
         self.tokens = list(self.prefix_ids)
+        # Transcript committed from CLOSED windows (original prefix included;
+        # window re-prime context is never re-emitted).
+        self._committed = list(self.prefix_ids)
+        # The current window's forced prefix (context + prefix after a
+        # rollover; the bare prefix for window 0).
+        self._window_prefix = list(self.prefix_ids)
         self._state = None  # (self_caches, tokens_buf [K, L], i) on device
+        # Host-side conservative bound on the device position ``i`` — lets
+        # the rollover decision run WITHOUT a device sync per chunk.
+        self._i_bound = len(self.prefix_ids) - 1
 
     # -- compiled chunk step -------------------------------------------------
 
-    def _init_state(self):
+    def _init_state(self, window_prefix: list[int]):
         cfg = self.decoder.config
         k, l_ = self.beam_size, self.max_len
         dtype = self.decoder.precision.compute_dtype
         tokens = np.full((k, l_), self.eos_id, np.int32)
-        tokens[:, : len(self.prefix_ids)] = self.prefix_ids
+        tokens[:, : len(window_prefix)] = window_prefix
         caches = [
             {"k": jnp.zeros((k, l_, cfg.n_heads, cfg.head_dim), dtype),
              "v": jnp.zeros((k, l_, cfg.n_heads, cfg.head_dim), dtype)}
             for _ in range(cfg.decoder_layers)
         ]
-        return caches, jnp.asarray(tokens), jnp.int32(len(self.prefix_ids) - 1)
+        return caches, jnp.asarray(tokens), jnp.int32(len(window_prefix) - 1)
 
-    def _chunk_fn(self, n_prime: int, has_valid: bool):
-        """Build (and cache) the jitted per-chunk decode function."""
-        key = (n_prime, has_valid)
+    def _chunk_fn(self, n_prime: int, has_valid: bool, begin_index: int):
+        """Build (and cache) the jitted per-chunk decode function.
+
+        Distinct (n_prime, begin_index) pairs occur only at window starts —
+        window 0 and the (identical once steady) rollover windows — so the
+        compile count stays at ~3 variants regardless of stream length."""
+        key = (n_prime, has_valid, begin_index)
         if key in self._fns:
             return self._fns[key]
 
@@ -109,6 +155,7 @@ class StreamingDecoder:
         k, l_, v = self.beam_size, self.max_len, decoder.config.vocab_size
         n_steps = self.max_tokens_per_chunk
         lp_pow = self.length_penalty
+        rules = self.logit_rules
 
         def fn(params, encoder_out, enc_valid, self_caches, tokens, i0):
             cross = _cross_caches(decoder, params, encoder_out)
@@ -138,8 +185,14 @@ class StreamingDecoder:
                 cur = jax.lax.dynamic_slice(tokens, (0, idx), (k, 1))
                 logits, cache = decoder.decode_step(
                     params, cur, cache, idx, encoder_valid=enc_valid,
-                    ancestry=anc)
+                    ancestry=anc,
+                    # Past buffer exhaustion the scan keeps running (fixed
+                    # trip count) — gate the cache write so the final slot
+                    # is never rewritten with post-reorder rows.
+                    write_gate=(i <= l_ - 2))
                 logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+                if rules is not None:
+                    logp = rules(logp, tokens, idx + 1, begin_index)
                 eos_only = jnp.full((v,), NEG_INF).at[eos].set(0.0)
                 logp = jnp.where(done[:, None], eos_only[None, :], logp)
 
@@ -201,6 +254,40 @@ class StreamingDecoder:
         self._fns[key] = jitted
         return jitted
 
+    # -- window rollover -----------------------------------------------------
+
+    def _window_generation(self) -> list[int]:
+        """Sync and return the current window's generated tokens (window
+        prefix excluded)."""
+        if self._state is None:
+            return []
+        _, tokens, i_new = self._state
+        row = np.asarray(tokens[0])
+        return [int(t) for t in row[len(self._window_prefix): int(i_new) + 1]]
+
+    def _maybe_rollover(self) -> None:
+        """Restart the decoder window if the next chunk could overflow the
+        token/PE budget. Host-side trigger on ``_i_bound`` (each chunk adds
+        at most ``max_tokens_per_chunk``), so steady-state chunks stay
+        sync-free; the rollover itself costs the one sync that commits the
+        window."""
+        if not self.rollover or self._state is None:
+            return
+        if self._i_bound + self.max_tokens_per_chunk <= self.max_len - 2:
+            return
+        self._committed = self._committed + self._window_generation()
+        ctx: list[int] = []
+        if self.context_tokens > 0:
+            pool = [t for t in self._committed[len(self.prefix_ids):]
+                    if t != self.eos_id]
+            ctx = pool[-self.context_tokens:]
+            if self.sot_prev_id is not None and ctx:
+                ctx = [self.sot_prev_id] + ctx
+        self._window_prefix = ctx + list(self.prefix_ids)
+        self._state = None
+        self._i_bound = len(self._window_prefix) - 1
+        self.tokens = list(self._committed)
+
     # -- public API ----------------------------------------------------------
 
     def process_chunk(self, encoder_out: jnp.ndarray,
@@ -213,33 +300,39 @@ class StreamingDecoder:
         ``collect=False`` skips the device->host sync entirely (the chunk
         dispatch stays async and overlaps the next chunk's encode — on a
         remote-tunnel TPU each sync costs ~3 round trips); call
-        ``collected_tokens()`` at any boundary to drain the transcript."""
+        ``collected_tokens()`` at any boundary to drain the transcript.
+        Window rollovers still happen (they sync only at the boundary they
+        fire on)."""
+        self._maybe_rollover()
         first = self._state is None
         if first:
-            self._state = self._init_state()
+            self._state = self._init_state(self._window_prefix)
         caches, tokens, i0 = self._state
-        n_prime = max(len(self.prefix_ids) - 1, 0) if first else 0
-        fn = self._chunk_fn(n_prime, encoder_valid is not None)
+        n_prime = max(len(self._window_prefix) - 1, 0) if first else 0
+        fn = self._chunk_fn(n_prime, encoder_valid is not None,
+                            len(self._window_prefix))
         caches, tokens, i_new = fn(
             self.params, encoder_out, encoder_valid, caches, tokens, i0)
         self._state = (caches, tokens, i_new)
+        self._i_bound = min(self._i_bound + self.max_tokens_per_chunk,
+                            self.max_len - 1)
         if not collect:
             return []
         row = np.asarray(tokens[0])
         start, end = int(i0) + 1, int(i_new) + 1
+        # Collecting syncs anyway — replace the conservative bound with the
+        # true position (avoids premature rollovers after short chunks).
+        self._i_bound = int(i_new)
         new_tokens = [int(t) for t in row[start:end]]
         self.tokens.extend(new_tokens)
         return new_tokens
 
     def collected_tokens(self) -> list[int]:
-        """Sync and return the FULL transcript committed so far (prefix
-        included) — the one-sync companion of ``process_chunk(collect=
-        False)``. Also reconciles ``self.tokens``."""
-        if self._state is None:
-            return list(self.tokens)
-        _, tokens, i_new = self._state
-        row = np.asarray(tokens[0])
-        self.tokens = [int(t) for t in row[: int(i_new) + 1]]
+        """Sync and return the FULL transcript committed so far (original
+        prefix included, window re-prime context excluded) — the one-sync
+        companion of ``process_chunk(collect=False)``. Also reconciles
+        ``self.tokens``."""
+        self.tokens = self._committed + self._window_generation()
         return list(self.tokens)
 
 
@@ -258,10 +351,17 @@ def transcribe_long_form(
     beam_size: int = 1,
     length_penalty: float = 1.0,
     mel_fn=None,
+    rollover: bool = True,
+    context_tokens: int = 0,
+    sot_prev_id: int | None = None,
+    logit_rules=None,
 ) -> list[int]:
     """End-to-end long-form ASR: waveform of arbitrary length -> 30 s chunks
     -> log-mel -> encoder -> streaming decode with a persistent KV cache
-    (BASELINE config 5). Returns all generated token ids (prefix excluded).
+    (BASELINE config 5). Returns all generated token ids (prefix excluded);
+    with ``rollover`` (default) the transcript length is unbounded by the
+    decoder's ``max_len`` budget (window restart + optional text
+    conditioning — see ``StreamingDecoder``).
 
     Per chunk: one compiled encoder dispatch + one compiled decode dispatch
     (the whole token loop runs on-device under ``lax.scan``).
@@ -278,7 +378,9 @@ def transcribe_long_form(
     stream = StreamingDecoder(
         decoder, decoder_params, prefix_ids, max_len=max_len, eos_id=eos_id,
         max_tokens_per_chunk=max_tokens_per_chunk, beam_size=beam_size,
-        length_penalty=length_penalty)
+        length_penalty=length_penalty, rollover=rollover,
+        context_tokens=context_tokens, sot_prev_id=sot_prev_id,
+        logit_rules=logit_rules)
     out: list[int] = []
     for i in range(n_chunks):
         chunk = audio[..., i * chunk_samples : (i + 1) * chunk_samples]

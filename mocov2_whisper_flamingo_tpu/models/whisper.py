@@ -144,6 +144,7 @@ def attention_block(
     precision: L.Precision = L.FP32,
     backend: str = "xla",
     ancestry: jnp.ndarray | None = None,
+    write_gate: jnp.ndarray | None = None,
 ) -> tuple[jnp.ndarray, dict | None]:
     """Multi-head attention with optional KV cache.
 
@@ -152,6 +153,14 @@ def attention_block(
     precomputed encoder K/V and is used as-is. ``ancestry`` switches the
     cached self-attention to the append-only beam layout (see
     ``_ancestry_attention``).
+
+    ``write_gate`` (optional traced scalar bool): when False the cache rows
+    at ``cache_index`` are preserved instead of overwritten — the streaming
+    chunk program runs a fixed-trip scan past token-buffer exhaustion, and
+    an ungated write would rewrite the final slot with post-reorder rows
+    while the ancestry tensor still points at pre-reorder rows (wrong
+    beam's K/V committed). Costs one [B, 1, H, Dh] slice per layer per
+    step; None (the default) compiles to the plain write.
     """
     src = x if kv_source is None else kv_source
     fused_self = "qkv" in params and kv_source is None
@@ -178,8 +187,17 @@ def attention_block(
             v = _split_heads(L.linear(params["v"], src, precision), n_heads)
         if cache is not None:
             # Incremental decode: write new K/V into the static-size cache.
-            k = jax.lax.dynamic_update_slice(cache["k"], k.astype(cache["k"].dtype), (0, cache_index, 0, 0))
-            v = jax.lax.dynamic_update_slice(cache["v"], v.astype(cache["v"].dtype), (0, cache_index, 0, 0))
+            k = k.astype(cache["k"].dtype)
+            v = v.astype(cache["v"].dtype)
+            if write_gate is not None:
+                old_k = jax.lax.dynamic_slice(
+                    cache["k"], (0, cache_index, 0, 0), k.shape)
+                old_v = jax.lax.dynamic_slice(
+                    cache["v"], (0, cache_index, 0, 0), v.shape)
+                k = jnp.where(write_gate, k, old_k)
+                v = jnp.where(write_gate, v, old_v)
+            k = jax.lax.dynamic_update_slice(cache["k"], k, (0, cache_index, 0, 0))
+            v = jax.lax.dynamic_update_slice(cache["v"], v, (0, cache_index, 0, 0))
             new_cache = {"k": k, "v": v}
             if ancestry is not None:
                 out = _ancestry_attention(q, k, v, ancestry, cache_index)
@@ -435,11 +453,13 @@ class WhisperDecoder:
         index: jnp.ndarray,
         encoder_valid: jnp.ndarray | None = None,
         ancestry: jnp.ndarray | None = None,
+        write_gate: jnp.ndarray | None = None,
     ) -> tuple[jnp.ndarray, list[dict]]:
         """One decode step. tokens: [B, 1] current token ids; index: scalar
         int32 position. ``ancestry`` [B, K, K, L]: append-only beam-cache
-        attention (see ``_ancestry_attention``). Returns (logits [B, V],
-        updated cache)."""
+        attention (see ``_ancestry_attention``); ``write_gate``: optional
+        scalar bool — False preserves the cache rows at ``index`` (see
+        ``attention_block``). Returns (logits [B, V], updated cache)."""
         cfg, prec = self.config, self.precision
         x = L.embed(params["embed_tokens"], tokens)
         x = x + jax.lax.dynamic_slice_in_dim(params["pos_embed"], index, 1, axis=0)
@@ -450,7 +470,7 @@ class WhisperDecoder:
                 lp["self_attn"], L.layer_norm(lp["self_attn_ln"], x),
                 n_heads=cfg.n_heads, cache=layer_cache["self"], cache_index=index,
                 precision=prec, backend="xla",  # single-query step: XLA path
-                ancestry=ancestry)
+                ancestry=ancestry, write_gate=write_gate)
             x = x + h
             h = self._cross_step(lp, x, layer_cache["cross"], encoder_valid, prec)
             x = x + h
