@@ -169,6 +169,8 @@ class DataModule:
         return collate_fn(batch, target_len_buckets=self.target_len_buckets)
 
     def _get_sampler(self, dataset, batch_size: int, shuffle: bool = True):
+        import jax
+
         base = ByFrameCountSampler(
             dataset,
             max_frames_per_gpu=self.max_frames * batch_size,
@@ -176,11 +178,14 @@ class DataModule:
             seed=self.seed,
             max_frames=self.max_frames,
         )
+        multi_host = jax.process_count() > 1
         if self.quantize_batch_sizes:
-            base = QuantizedBatchSampler(base, batch_size)
-        import jax
-
-        if jax.process_count() > 1:
+            # Multi-host: every piece must divide over this host's devices
+            # (batch_sharding(per_host=True) rejects anything else), so the
+            # smallest allowed piece is the local device count.
+            min_size = jax.local_device_count() if multi_host else 1
+            base = QuantizedBatchSampler(base, batch_size, min_size=min_size)
+        if multi_host:
             return ShardedSampler(base, jax.process_count(), jax.process_index(),
                                   shuffle=shuffle, seed=self.seed)
         return RandomSamplerWrapper(base, seed=self.seed) if shuffle else base

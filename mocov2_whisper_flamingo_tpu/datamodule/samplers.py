@@ -38,7 +38,7 @@ class ByFrameCountSampler:
         self.sizes = np.array(
             [min(dataset.probe_num_frames(i), max_frames) for i in range(len(dataset))],
             dtype=np.int64)
-        self.num_batches = len(self._make_batches())
+        self._batches_cache: tuple[int, list] | None = None
 
     def _get_indices(self) -> np.ndarray:
         """Lexsort by (permutation, size), reversed — groups similar lengths
@@ -52,12 +52,23 @@ class ByFrameCountSampler:
         return np.lexsort((order, self.sizes))[::-1]
 
     def _make_batches(self) -> list[np.ndarray]:
+        """Per-epoch batch list, cached on the current epoch: ``set_epoch``
+        reshuffles the packing, so both ``__len__`` and ``__iter__`` must
+        see the SAME epoch's batches (round-2 finding: a length computed
+        once at epoch 0 can disagree with later epochs' batch counts, and
+        the trainer derives schedule lengths from it)."""
+        if self._batches_cache is not None and self._batches_cache[0] == self.epoch:
+            return self._batches_cache[1]
         if len(self.dataset) == 0:
-            return []
-        return batch_by_size(self._get_indices(), self.sizes, self.max_frames_per_gpu)
+            batches: list[np.ndarray] = []
+        else:
+            batches = batch_by_size(
+                self._get_indices(), self.sizes, self.max_frames_per_gpu)
+        self._batches_cache = (self.epoch, batches)
+        return batches
 
     def __len__(self) -> int:
-        return self.num_batches
+        return len(self._make_batches())
 
     def __iter__(self):
         return iter(self._make_batches())
@@ -76,13 +87,24 @@ class QuantizedBatchSampler:
     compile that makes real-data training impractical. Quantizing to
     ``{batch_size, batch_size/2, ..., 1}`` bounds the compile count to
     ~log2(batch_size) variants, drops no samples, and keeps every piece
-    within the original token budget (a subset of a packed batch packs)."""
+    within the original token budget (a subset of a packed batch packs).
 
-    def __init__(self, sampler, max_batch_size: int):
+    ``min_size`` (default 1): smallest allowed piece — pieces are then
+    always multiples of it. For multi-host SPMD this must be the per-host
+    device share of the data axis: every leaf row count has to divide
+    evenly over the local devices or ``batch_sharding(per_host=True)``
+    rejects it (a 1-2 row piece on an 8-device host cannot shard). A
+    remainder smaller than ``min_size`` is padded UP to it by wrapping
+    indices from the same packed batch (duplicate samples — the same
+    trade the reference's DistributedSampler makes when it pads ranks,
+    reference: data_module.py:84-106)."""
+
+    def __init__(self, sampler, max_batch_size: int, min_size: int = 1):
         self.sampler = sampler
+        self.min_size = max(int(min_size), 1)
         self.allowed = []
-        size = 1
-        while size <= max_batch_size:
+        size = self.min_size
+        while size <= max(max_batch_size, self.min_size):
             self.allowed.append(size)
             size *= 2
         self.allowed.reverse()  # largest first
@@ -95,6 +117,11 @@ class QuantizedBatchSampler:
                     pieces.append(batch[start : start + size])
                     start += size
                     break
+            else:  # remainder < min_size: wrap-pad from the batch front
+                piece = np.asarray(batch[start:])
+                pad = np.resize(np.asarray(batch), self.min_size - len(piece))
+                pieces.append(np.concatenate([piece, pad]))
+                start = n
         return pieces
 
     def __iter__(self):
@@ -110,9 +137,25 @@ class QuantizedBatchSampler:
 
 
 class ShardedSampler:
-    """Shard a batch sampler's output across hosts: pad the batch list (by
-    wrapping) so every host gets the same count, optionally shuffle batch
-    order with a (seed + epoch) generator."""
+    """Shard a batch sampler's output across hosts with **per-step size
+    agreement**: at every iteration position, all ranks hold a batch of the
+    SAME size.
+
+    In multi-controller SPMD each host contributes its local rows of one
+    global array per step (``jax.make_array_from_process_local_data``); if
+    hosts held different local batch sizes at the same step, the inferred
+    global shapes would disagree and the collective would hang — or worse,
+    silently mismatch (round-2 advisor finding on parallel/mesh.py). So
+    batches are grouped by size, each size group is padded to a multiple of
+    ``num_replicas`` by wrapping (the reference DistributedSampler's pad
+    trade, reference: data_module.py:84-106) and dealt round-robin; the
+    optional shuffle permutes iteration POSITIONS with the shared
+    (seed + epoch) generator, which every rank computes identically, so
+    alignment survives the shuffle.
+
+    Requires the wrapped sampler to be deterministic and identically seeded
+    on every host (true for ByFrameCountSampler/QuantizedBatchSampler:
+    same dataset walk, same seed + epoch)."""
 
     def __init__(self, sampler, num_replicas: int, rank: int, shuffle: bool = True,
                  seed: int = 0):
@@ -129,18 +172,28 @@ class ShardedSampler:
         batches = list(self.sampler)
         if not batches:
             return []
+        by_size: dict[int, list] = {}
+        for b in batches:
+            by_size.setdefault(len(b), []).append(b)
+        mine = []
+        for size in sorted(by_size, reverse=True):
+            group = by_size[size]
+            remainder = len(group) % self.num_replicas
+            if remainder:  # pad by wrapping so every rank gets a full column
+                group = group + group[: self.num_replicas - remainder]
+            mine.extend(group[self.rank :: self.num_replicas])
         if self.shuffle:
             rng = np.random.default_rng(self.seed + self.epoch)
-            batches = [batches[i] for i in rng.permutation(len(batches))]
-        # pad to a multiple of num_replicas by wrapping from the front
-        remainder = len(batches) % self.num_replicas
-        if remainder:
-            batches = batches + batches[: self.num_replicas - remainder]
-        return batches[self.rank :: self.num_replicas]
+            perm = rng.permutation(len(mine))  # identical on every rank
+            mine = [mine[i] for i in perm]
+        return mine
 
     def __len__(self) -> int:
-        n = len(self.sampler)
-        return (n + self.num_replicas - 1) // self.num_replicas
+        counts: dict[int, int] = {}
+        for b in self.sampler:
+            counts[len(b)] = counts.get(len(b), 0) + 1
+        r = self.num_replicas
+        return sum((n + r - 1) // r for n in counts.values())
 
     def __iter__(self):
         return iter(self._sharded())

@@ -58,35 +58,30 @@ class BeamResult:
     scores: jnp.ndarray     # [B, K] length-normalized log probs
 
 
-def _gather_beams(tree, beam_idx: jnp.ndarray, b: int, k: int,
-                  flatten: bool = True):
+def _gather_beams(tree, beam_idx: jnp.ndarray, b: int, k: int):
     """Reorder the leading [B*K] axis of every leaf by per-batch beam index
-    [B, K_new] (values in [0, K)).
+    [B, K_new] (values in [0, K)). Used by the ``use_ancestry=False``
+    fallback search (the default ancestry path never physically reorders,
+    and the streaming chunk commit has its own einsum over the ancestry
+    rows — decode/streaming.py).
 
     Implemented as a one-hot matmul (perm [B, K_new, K] against the beam
-    axis) rather than take_along_axis: general gathers lower poorly on TPU
-    for large operands (measured ~200ms/step on the KV caches), while the
+    axis, trailing dims flattened into the dot — the measured-faster form
+    for the batched program: 2.74 vs 3.10 ms/step at cache length 164)
+    rather than take_along_axis: general gathers lower poorly on TPU for
+    large operands (measured ~200 ms/step on the KV caches), while the
     small permutation contraction is MXU work XLA handles at full speed.
-
-    ``flatten`` picks how the trailing dims meet the dot (both measured,
-    round 2): flattening to [B, K, F] wins in the batched beam-search
-    program (2.74 vs 3.10 ms/step at cache length 164), while the
-    non-flattened multi-free-dim dot wins in the streaming chunk program
-    whose per-leaf caches are long and single-example (154x -> 204x
-    realtime at cache length 448, where the flatten materializes a ~2.6 MB
-    relayout copy per leaf per step).
     """
     k_new = beam_idx.shape[1]
     perm = (beam_idx[..., None] == jnp.arange(k)[None, None, :])  # [B, K_new, K]
 
     def gather(leaf):
-        shaped = leaf.reshape(b, k, -1) if flatten else \
-            leaf.reshape(b, k, *leaf.shape[1:])
+        shaped = leaf.reshape(b, k, -1)
         p = perm.astype(leaf.dtype if jnp.issubdtype(leaf.dtype, jnp.floating)
                         else jnp.float32)
         out = jax.lax.dot_general(
             p, shaped.astype(p.dtype), (((2,), (1,)), ((0,), (0,))),
-            preferred_element_type=p.dtype)  # [B, K_new, ...]
+            preferred_element_type=p.dtype)  # [B, K_new, K*F]
         return out.astype(leaf.dtype).reshape(b * k_new, *leaf.shape[1:])
 
     return jax.tree.map(gather, tree)

@@ -146,7 +146,12 @@ def batch_sharding(mesh: Mesh, tree: Any, per_host: bool = False) -> Any:
     ``per_host=True``: leaves are HOST-LOCAL shards (multi-controller SPMD —
     each host loads its own slice via ``ShardedSampler``); divisibility is
     checked against this host's share of the data axis, and the resulting
-    specs are meant for ``jax.make_array_from_process_local_data``."""
+    specs are meant for ``jax.make_array_from_process_local_data``. A leaf
+    whose batch dim does NOT divide this host's device share RAISES instead
+    of replicating: under ``process_count()>1`` a replicated spec with
+    per-host-different rows is silently wrong data (round-2 advisor
+    finding) — the fix belongs in the sampler (``QuantizedBatchSampler``
+    ``min_size`` keeps every piece a multiple of the per-host share)."""
     div = mesh.shape[DATA_AXIS]
     if per_host:
         n_proc = jax.process_count()
@@ -159,6 +164,12 @@ def batch_sharding(mesh: Mesh, tree: Any, per_host: bool = False) -> Any:
         ndim = getattr(leaf, "ndim", 0)
         if ndim >= 1 and leaf.shape[0] % div == 0:
             return NamedSharding(mesh, P(DATA_AXIS))
+        if per_host and ndim >= 1:
+            raise ValueError(
+                f"host-local batch dim {leaf.shape[0]} does not divide this "
+                f"host's data-axis share ({div}); replicating it would feed "
+                f"different data per host — fix the sampler (quantize batch "
+                f"sizes to multiples of {div})")
         return NamedSharding(mesh, P())
 
     return jax.tree.map(resolve, tree)

@@ -226,3 +226,66 @@ def test_video_transform_val_skips_resize(rng):
     vt_train = VideoTransform("train")
     out_train = vt_train(x, rng=np.random.default_rng(0))
     assert out_train.shape == (4, 3, 64, 64)
+
+
+def test_quantized_batch_sampler_min_size():
+    """min_size (the per-host device share in multi-host SPMD) bounds piece
+    sizes from below: remainders are wrap-padded up to it so every piece
+    divides over the local devices."""
+    from mocov2_whisper_flamingo_tpu.datamodule.samplers import QuantizedBatchSampler
+
+    class FakeSampler(list):
+        def set_epoch(self, e):
+            pass
+
+    base = FakeSampler([np.arange(11), np.arange(11, 14), np.arange(14, 15)])
+    q = QuantizedBatchSampler(base, max_batch_size=8, min_size=4)
+    pieces = list(q)
+    assert all(len(p) % 4 == 0 for p in pieces)
+    assert all(len(p) in (4, 8) for p in pieces)
+    # every original sample still present (padding duplicates, never drops)
+    seen = {int(x) for p in pieces for x in p}
+    assert seen == set(range(15))
+    assert len(q) == len(pieces)
+
+
+def test_sharded_sampler_size_aligned_across_ranks():
+    """At every step, all ranks hold a batch of the SAME size (multi-host
+    global-shape agreement — round-2 advisor finding), shuffle included,
+    and every batch is still assigned to some rank."""
+    class FakeSampler(list):
+        def set_epoch(self, e):
+            pass
+
+    # mixed sizes, counts not divisible by the 3 ranks
+    batches = ([np.arange(i * 8, i * 8 + 8) for i in range(4)]
+               + [np.arange(100 + i * 4, 100 + i * 4 + 4) for i in range(5)]
+               + [np.arange(200 + i * 2, 200 + i * 2 + 2) for i in range(2)])
+    base = FakeSampler(batches)
+    for shuffle in (False, True):
+        shards = [list(ShardedSampler(base, 3, r, shuffle=shuffle, seed=5))
+                  for r in range(3)]
+        assert len({len(s) for s in shards}) == 1
+        for step in range(len(shards[0])):
+            sizes = {len(shards[r][step]) for r in range(3)}
+            assert len(sizes) == 1, f"step {step}: ranks disagree {sizes}"
+        seen = {int(b[0]) for s in shards for b in s}
+        assert seen >= {int(b[0]) for b in batches}
+    # set_epoch changes the order but keeps alignment
+    sh = ShardedSampler(base, 3, 0, shuffle=True, seed=5)
+    sh.set_epoch(3)
+    assert len(list(sh)) == len(shards[0])
+
+
+def test_by_frame_count_sampler_len_tracks_epoch(dataset_root):
+    """__len__ reflects the CURRENT epoch's packing (round-2 finding: a
+    length frozen at epoch 0 can disagree with the iterated batch count
+    that the trainer derives schedule lengths from)."""
+    ds = AVDataset(dataset_root, "train", "audiovisual",
+                   AudioTransform("train"), VideoTransform("train"),
+                   max_frames=24, tokenizer=ByteTokenizer())
+    sampler = ByFrameCountSampler(ds, max_frames_per_gpu=48, shuffle=True,
+                                  max_frames=24)
+    for epoch in range(4):
+        sampler.set_epoch(epoch)
+        assert len(sampler) == len(list(sampler))

@@ -98,3 +98,18 @@ def test_beam_search_data_parallel(rng):
     sharded = np.asarray(f(p_repl, enc_sharded))
     single = np.asarray(f(params, enc_out))
     np.testing.assert_array_equal(sharded, single)
+
+
+def test_per_host_batch_sharding_rejects_indivisible():
+    """per_host=True must RAISE on a batch dim that doesn't divide this
+    host's data-axis share — silently replicating host-local rows feeds
+    different data per host (round-2 advisor finding)."""
+    import numpy as np
+    import pytest
+
+    mesh = make_mesh()
+    good = {"x": np.zeros((mesh.shape["data"], 3))}
+    sh = batch_sharding(mesh, good, per_host=True)
+    assert sh["x"].spec == jax.sharding.PartitionSpec("data")
+    with pytest.raises(ValueError, match="does not divide"):
+        batch_sharding(mesh, {"x": np.zeros((3, 2))}, per_host=True)

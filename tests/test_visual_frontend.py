@@ -147,14 +147,18 @@ def test_moco_converter_key_mapping(rng):
         np.asarray(init["layer2"][0]["conv1"]["kernel"]))
 
 
-def test_conv2d_bn_fold_matches_unfolded(rng):
+def test_conv2d_bn_fold_matches_unfolded(rng, monkeypatch):
     """_conv2d_bn (BN folded into the kernel; 1x1 kernels as matmuls) must
     match conv-then-BN to fp tolerance, including the strided-1x1
-    (downsample) subsample path."""
+    (downsample) subsample path.
+
+    The module-level USE_MATMUL_1X1 flag is flipped via monkeypatch so a
+    mid-loop assertion failure can never leak True into other tests (the
+    default is deliberately False: that formulation faulted the axon TPU
+    worker — CLAUDE.md)."""
     from mocov2_whisper_flamingo_tpu.models import visual_frontend as vf
 
     _conv2d_bn = vf._conv2d_bn
-    vf.USE_MATMUL_1X1 = True  # exercise the matmul specialization too
     for kh, stride in [(1, 1), (1, 2), (3, 1), (3, 2)]:
         c_in, c_out = 8, 16
         conv = {"kernel": jnp.asarray(rng.standard_normal((kh, kh, c_in, c_out)), jnp.float32) * 0.1}
@@ -166,17 +170,16 @@ def test_conv2d_bn_fold_matches_unfolded(rng):
         }
         x = jnp.asarray(rng.standard_normal((2, 12, 12, c_in)), jnp.float32)
         ref = batch_norm_inference(bn, _conv2d(conv, x, stride, L.FP32))
+        monkeypatch.setattr(vf, "USE_MATMUL_1X1", True)
         got = _conv2d_bn(conv, bn, x, stride, L.FP32)
-        vf.USE_MATMUL_1X1 = False
+        monkeypatch.setattr(vf, "USE_MATMUL_1X1", False)
         got_conv = _conv2d_bn(conv, bn, x, stride, L.FP32)
-        vf.USE_MATMUL_1X1 = True
         np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                    rtol=2e-5, atol=2e-5,
                                    err_msg=f"kh={kh} stride={stride}")
         np.testing.assert_allclose(np.asarray(got_conv), np.asarray(ref),
                                    rtol=2e-5, atol=2e-5,
                                    err_msg=f"conv path kh={kh} stride={stride}")
-    vf.USE_MATMUL_1X1 = False
 
 
 def test_stem_time_unfold_matches_conv3d(rng):
