@@ -80,13 +80,33 @@ def collate_fn(batch: list[dict], target_len_buckets=None) -> dict:
 
 
 class DataLoader:
-    """Batch-sampler-driven loader with thread-pool sample fetch."""
+    """Batch-sampler-driven loader with thread-pool sample fetch and
+    inter-batch prefetch.
 
-    def __init__(self, dataset, batch_sampler, collate=collate_fn, num_workers: int = 0):
+    ``prefetch_batches`` (default 2): a background producer thread prepares
+    batch N+1..N+prefetch (fetch + collate + optional ``device_put``) while
+    the caller consumes batch N — host IO/augmentation overlaps device
+    compute, the role the reference's torch DataLoader worker processes +
+    pin_memory play (reference: datamodule/data_module.py:243-252). Threads
+    (not processes) suffice here: the hot per-sample work (numpy mel,
+    resample via the native C++ lib, npy reads) releases the GIL. Order is
+    identical to the synchronous path; 0 disables prefetch.
+
+    ``device_put``: optional callable applied to each collated batch ON THE
+    PRODUCER THREAD — the trainer hooks its mesh placement here so the H2D
+    transfer of batch N+1 also overlaps step N (jax.device_put is
+    thread-safe).
+    """
+
+    def __init__(self, dataset, batch_sampler, collate=collate_fn,
+                 num_workers: int = 0, prefetch_batches: int = 2,
+                 device_put=None):
         self.dataset = dataset
         self.batch_sampler = batch_sampler
         self.collate = collate
         self.num_workers = num_workers
+        self.prefetch_batches = prefetch_batches
+        self.device_put = device_put
 
     def __len__(self) -> int:
         return len(self.batch_sampler)
@@ -95,15 +115,63 @@ class DataLoader:
         if hasattr(self.batch_sampler, "set_epoch"):
             self.batch_sampler.set_epoch(epoch)
 
-    def __iter__(self) -> Iterator[dict]:
+    def _batches(self) -> Iterator[dict]:
+        """Synchronous fetch+collate (+device_put) stream."""
         if self.num_workers > 0:
             with ThreadPoolExecutor(max_workers=self.num_workers) as pool:
                 for indices in self.batch_sampler:
                     samples = list(pool.map(self.dataset.__getitem__, indices))
-                    yield self.collate(samples)
+                    batch = self.collate(samples)
+                    yield self.device_put(batch) if self.device_put else batch
         else:
             for indices in self.batch_sampler:
-                yield self.collate([self.dataset[i] for i in indices])
+                batch = self.collate([self.dataset[i] for i in indices])
+                yield self.device_put(batch) if self.device_put else batch
+
+    def __iter__(self) -> Iterator[dict]:
+        if self.prefetch_batches <= 0:
+            yield from self._batches()
+            return
+
+        import queue as queue_mod
+        import threading
+
+        q: queue_mod.Queue = queue_mod.Queue(maxsize=self.prefetch_batches)
+        stop = threading.Event()
+
+        def _put(item) -> bool:
+            while not stop.is_set():
+                try:
+                    q.put(item, timeout=0.1)
+                    return True
+                except queue_mod.Full:
+                    continue
+            return False
+
+        def produce() -> None:
+            try:
+                for batch in self._batches():
+                    if not _put(("item", batch)):
+                        return
+            except BaseException as exc:  # re-raised on the consumer side
+                _put(("error", exc))
+            else:
+                _put(("done", None))
+
+        thread = threading.Thread(target=produce, daemon=True,
+                                  name="dataloader-prefetch")
+        thread.start()
+        try:
+            while True:
+                kind, value = q.get()
+                if kind == "done":
+                    break
+                if kind == "error":
+                    raise value
+                yield value
+        finally:  # consumer broke early or raised: unblock + stop producer
+            stop.set()
+            thread.join(timeout=5.0)
 
 
 class DataModule:

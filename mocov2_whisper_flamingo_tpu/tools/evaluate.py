@@ -11,8 +11,13 @@ decode modes the north star adds:
 - ``--mode beam``: KV-cached beam search through the Whisper decoder
   (AVWhisperNet), ``--beam-size`` beams.
 
-Runs data-parallel over all local devices via the batch shardings
-(BASELINE config 4's v5e-8 eval shape when 8 devices are present).
+Runs data-parallel over all local devices (BASELINE config 4's v5e-8 eval
+shape): params are replicated over a pure-data mesh and each batch's
+leading axis is sharded across it, so the jitted forward/beam runs SPMD
+with XLA inserting the collectives. Batches whose size doesn't divide the
+device count (tail pieces from the quantized sampler) fall back to
+replicated execution — correct, just not parallel — so no sample is ever
+dropped or padded.
 """
 
 from __future__ import annotations
@@ -27,6 +32,23 @@ import numpy as np
 logger = logging.getLogger("evaluate")
 
 
+def _mesh_runner():
+    """(place_params, place_batch) over a pure-DP mesh spanning all
+    devices — the same placement path the Trainer uses
+    (parallel/mesh.py ``put_host_local_batch``, multi-host correct)."""
+    import jax
+
+    from mocov2_whisper_flamingo_tpu.parallel.mesh import (
+        make_mesh, put_host_local_batch, replicated)
+
+    mesh = make_mesh()
+
+    def place_params(params):
+        return jax.tree.map(jax.device_put, params, replicated(mesh, params))
+
+    return place_params, lambda batch: put_host_local_batch(mesh, batch)
+
+
 def evaluate_ctc_greedy(net, params, datamodule, tokenizer, split="test") -> dict:
     import jax
     import jax.numpy as jnp
@@ -35,6 +57,8 @@ def evaluate_ctc_greedy(net, params, datamodule, tokenizer, split="test") -> dic
 
     loader = (datamodule.test_dataloader() if split == "test"
               else datamodule.val_dataloader())
+    place_params, place_batch = _mesh_runner()
+    params = place_params(params)
 
     @jax.jit
     def predict(params, batch):
@@ -46,7 +70,7 @@ def evaluate_ctc_greedy(net, params, datamodule, tokenizer, split="test") -> dic
     refs, hyps = [], []
     for batch in loader:
         texts = batch.pop("target_text")
-        arrays = {k: jnp.asarray(v) for k, v in batch.items() if v is not None}
+        arrays = place_batch({k: v for k, v in batch.items() if v is not None})
         preds = predict(params, arrays)
         hyps.extend(tokenizer.batch_decode(np.asarray(preds), skip_special_tokens=True))
         refs.extend(texts)
@@ -56,7 +80,6 @@ def evaluate_ctc_greedy(net, params, datamodule, tokenizer, split="test") -> dic
 def evaluate_beam(net, params, datamodule, tokenizer, beam_size=5,
                   max_len=224, split="test") -> dict:
     import jax
-    import jax.numpy as jnp
 
     from mocov2_whisper_flamingo_tpu.utils.wer import wer as corpus_wer
 
@@ -64,6 +87,8 @@ def evaluate_beam(net, params, datamodule, tokenizer, beam_size=5,
               else datamodule.val_dataloader())
     prefix = tokenizer.prefix_token_ids
     eos = tokenizer.eos_token_id
+    place_params, place_batch = _mesh_runner()
+    params = place_params(params)
 
     @jax.jit
     def predict(params, batch):
@@ -76,7 +101,7 @@ def evaluate_beam(net, params, datamodule, tokenizer, beam_size=5,
     refs, hyps = [], []
     for batch in loader:
         texts = batch.pop("target_text")
-        arrays = {k: jnp.asarray(v) for k, v in batch.items() if v is not None}
+        arrays = place_batch({k: v for k, v in batch.items() if v is not None})
         preds = predict(params, arrays)
         hyps.extend(tokenizer.batch_decode(np.asarray(preds), skip_special_tokens=True))
         refs.extend(texts)

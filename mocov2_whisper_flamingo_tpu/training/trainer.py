@@ -218,6 +218,14 @@ class Trainer:
     def fit(self, datamodule, params: dict, max_epochs: int | None = None,
             max_steps: int | None = None, resume: str | None = None) -> dict:
         train_loader = datamodule.train_dataloader()
+        # Move the mesh placement onto the loader's prefetch thread: batch
+        # N+1's fetch+collate+H2D overlaps step N's device compute (the
+        # reference's DataLoader workers + pin_memory overlap, reference:
+        # datamodule/data_module.py:243-252).
+        pre_placed = False
+        if getattr(train_loader, "device_put", "absent") is None:
+            train_loader.device_put = self._put_batch
+            pre_placed = True
         epochs = max_epochs or self.config["training"]["epochs"]
         steps_per_epoch = getattr(train_loader, "__len__", lambda: 100)()
         total = max_steps or epochs * max(steps_per_epoch, 1)
@@ -242,7 +250,7 @@ class Trainer:
             t_epoch = time.time()
             for batch in train_loader:
                 rng, sub = jax.random.split(rng)
-                placed = self._put_batch(batch)
+                placed = batch if pre_placed else self._put_batch(batch)
                 placed.pop("target_text", None)
                 params, opt_state, losses = self._step_fn(params, opt_state, placed, sub)
                 self.global_step += 1

@@ -289,3 +289,67 @@ def test_by_frame_count_sampler_len_tracks_epoch(dataset_root):
     for epoch in range(4):
         sampler.set_epoch(epoch)
         assert len(sampler) == len(list(sampler))
+
+
+def test_dataloader_prefetch_matches_sync(dataset_root):
+    """The prefetching loader yields exactly the synchronous stream (order
+    and content), applies the device_put hook on the producer thread, and
+    shuts down cleanly on early break."""
+    import threading
+
+    dm = DataModule(_config(dataset_root))
+    dm.setup()
+    from mocov2_whisper_flamingo_tpu.datamodule.data_module import DataLoader
+
+    def make(prefetch, device_put=None):
+        # val split: deterministic transforms, so two passes are comparable
+        loader = dm.val_dataloader()
+        return DataLoader(loader.dataset, loader.batch_sampler,
+                          collate=loader.collate, num_workers=2,
+                          prefetch_batches=prefetch, device_put=device_put)
+
+    sync_batches = list(make(0))
+    pre_batches = list(make(3))
+    assert len(pre_batches) == len(sync_batches) >= 1
+    for a, b in zip(pre_batches, sync_batches):
+        np.testing.assert_array_equal(a["target_ids"], b["target_ids"])
+        np.testing.assert_allclose(a["audio"], b["audio"])
+
+    # device_put hook runs off the consumer thread
+    seen_threads = []
+
+    def tag(batch):
+        seen_threads.append(threading.current_thread().name)
+        batch["tagged"] = True
+        return batch
+
+    tagged = list(make(2, device_put=tag))
+    assert all(b.get("tagged") for b in tagged)
+    assert all(t == "dataloader-prefetch" for t in seen_threads)
+
+    # early break must not hang or leak (join happens in the finally)
+    it = iter(make(2))
+    next(it)
+    it.close()
+
+    # producer exceptions surface on the consumer side
+    def boom(batch):
+        raise RuntimeError("producer failure")
+
+    with pytest.raises(RuntimeError, match="producer failure"):
+        list(make(2, device_put=boom))
+
+
+def test_dataloader_prefetch_set_epoch(dataset_root):
+    """set_epoch before iteration changes the prefetched epoch's batch
+    composition the same way it changes the synchronous one."""
+    dm = DataModule(_config(dataset_root))
+    dm.setup()
+    loader = dm.train_dataloader()
+    loader.set_epoch(2)
+    pre = [b["target_ids"].shape for b in loader]
+    loader2 = dm.train_dataloader()
+    loader2.prefetch_batches = 0
+    loader2.set_epoch(2)
+    sync = [b["target_ids"].shape for b in loader2]
+    assert pre == sync

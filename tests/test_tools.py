@@ -255,3 +255,90 @@ def test_convert_checkpoint_whisper_roundtrip(tmp_path):
             restored["encoder"]["conv1"]["bias"],
             model.encoder.conv1.bias.detach().numpy(), atol=1e-6)
         assert "decoder" in restored and "embed_tokens" in restored["decoder"]
+
+
+def test_evaluate_beam_data_parallel_matches_single_device(tmp_path):
+    """tools/evaluate --mode beam through the CLI code path on the
+    8-virtual-device mesh (BASELINE config 4 shape): batches shard over the
+    data axis and the hypotheses are identical to a single-device decode."""
+    import wave as wave_mod
+
+    import jax.numpy as jnp
+
+    from mocov2_whisper_flamingo_tpu.config import get_config
+    from mocov2_whisper_flamingo_tpu.datamodule.data_module import DataModule
+    from mocov2_whisper_flamingo_tpu.models.av_whisper import AVWhisperNet
+    from mocov2_whisper_flamingo_tpu.models.whisper import (
+        WhisperDecoder, WhisperEncoder)
+    from mocov2_whisper_flamingo_tpu.tools.evaluate import evaluate_beam
+
+    rng = np.random.default_rng(0)
+    for split in ("test",):
+        vdir = tmp_path / split / f"{split}_video_seg12s" / "s"
+        tdir = tmp_path / split / f"{split}_text_seg12s" / "s"
+        vdir.mkdir(parents=True)
+        tdir.mkdir(parents=True)
+        for i in range(8):  # one full 8-row batch -> shards over all devices
+            np.save(vdir / f"c{i}.npy",
+                    rng.integers(0, 255, (6, 32, 32, 3), dtype=np.uint8))
+            with wave_mod.open(str(vdir / f"c{i}.wav"), "wb") as w:
+                w.setnchannels(1)
+                w.setsampwidth(2)
+                w.setframerate(16000)
+                w.writeframes((np.sin(np.arange(8000) / (9 + i)) * 20000
+                               ).astype("<i2").tobytes())
+            (tdir / f"c{i}.txt").write_text("xin chao")
+
+    cfg = get_config({"data.root_dir": str(tmp_path), "data.max_frames": 8,
+                      "data.test_batch_size": 8})
+    dm = DataModule(cfg)
+    dm.setup("test")
+
+    net = AVWhisperNet(modelargs=MODELARGS, vocab_size=dm.vocab_size,
+                       whisper_name="whisper-tiny", backend="xla")
+    small = WhisperConfig(
+        n_mels=80, d_model=32, encoder_layers=1, decoder_layers=1, n_heads=4,
+        d_ff=64, vocab_size=dm.vocab_size, max_source_positions=1500,
+        max_target_positions=32)
+    net.whisper_config = small
+    net.trunk.whisper_config = small
+    net.trunk.whisper_encoder = WhisperEncoder(small, net.trunk.precision, "xla")
+    net.decoder = WhisperDecoder(small, net.precision, "xla")
+
+    class TinyFrontend:
+        """ResNet-50 stand-in with the same [B,T,3,H,W]->[B,T,2048]
+        contract (the real frontend's GSPMD compile dominates CI time and
+        is covered by test_visual_frontend/test_av_whisper)."""
+
+        def init(self, key):
+            return {"w": jax.random.normal(key, (3, 2048)) * 0.1}
+
+        def apply(self, params, video, video_len):
+            import jax.numpy as jnp_
+
+            feats = video.mean(axis=(-1, -2)) @ params["w"].astype(video.dtype)
+            mask = jnp_.arange(video.shape[1])[None] < video_len[:, None]
+            return feats * mask[..., None]
+
+    net.trunk.visual_frontend = TinyFrontend()
+    params = net.init(jax.random.PRNGKey(0))
+
+    report = evaluate_beam(net, params, dm, dm.tokenizer, beam_size=3,
+                           max_len=12, split="test")
+    assert report["n"] == 8
+
+    # single-device reference through the same loader
+    prefix = dm.tokenizer.prefix_token_ids
+    eos = dm.tokenizer.eos_token_id
+    ref_hyps = []
+    for batch in dm.test_dataloader():
+        batch.pop("target_text")
+        arrays = {k: jnp.asarray(v) for k, v in batch.items() if v is not None}
+        seqs = net.beam(params, (arrays["audio"], arrays["audio_mask"],
+                                 arrays["video"], arrays["video_mask"],
+                                 arrays["video_lengths"]),
+                        prefix, beam_size=3, max_len=12,
+                        eos_id=eos).sequences[:, 0]
+        ref_hyps.extend(dm.tokenizer.batch_decode(np.asarray(seqs),
+                                                  skip_special_tokens=True))
+    assert report["hyps"] == ref_hyps
