@@ -353,3 +353,74 @@ def test_dataloader_prefetch_set_epoch(dataset_root):
     loader2.set_epoch(2)
     sync = [b["target_ids"].shape for b in loader2]
     assert pre == sync
+
+
+def test_mp4_path_via_stub_cli(tmp_path, monkeypatch):
+    """The mp4 decode/probe path runs end-to-end against stub ffmpeg/ffprobe
+    executables that honor the exact CLI contracts our code issues (the
+    image ships no ffmpeg, so this is how CI keeps the path alive: argument
+    construction, probe parsing, rawvideo reshape/transpose all execute
+    for real)."""
+    import stat
+
+    from mocov2_whisper_flamingo_tpu.datamodule.av_dataset import (
+        probe_video_frames, read_video)
+
+    t, h, w = 5, 6, 8
+    rng = np.random.default_rng(3)
+    raw = rng.integers(0, 255, (t, h, w, 3), dtype=np.uint8)
+
+    bindir = tmp_path / "bin"
+    bindir.mkdir()
+    ffprobe = bindir / "ffprobe"
+    ffprobe.write_text(
+        "#!/bin/sh\n"
+        'case "$*" in\n'
+        f'  *nb_read_packets*) echo "{t}";;\n'
+        f'  *width,height*) echo "{w},{h}";;\n'
+        "esac\n")
+    ffmpeg = bindir / "ffmpeg"
+    ffmpeg.write_text(
+        "#!/bin/sh\n"
+        'prev=""\n'
+        'for a in "$@"; do\n'
+        '  if [ "$prev" = "-i" ]; then path="$a"; fi\n'
+        '  prev="$a"\n'
+        "done\n"
+        'cat "$path.raw"\n')
+    for f in (ffprobe, ffmpeg):
+        f.chmod(f.stat().st_mode | stat.S_IEXEC)
+    monkeypatch.setenv("PATH", f"{bindir}:{os.environ['PATH']}")
+
+    clip = tmp_path / "clip.mp4"
+    clip.write_bytes(b"")  # the stub reads the sidecar, not the container
+    (tmp_path / "clip.mp4.raw").write_bytes(raw.tobytes())
+
+    assert probe_video_frames(str(clip), default=-1) == t
+    frames = read_video(str(clip))
+    assert frames.shape == (t, 3, h, w)
+    np.testing.assert_array_equal(frames, raw.transpose(0, 3, 1, 2))
+
+
+@pytest.mark.skipif(__import__("shutil").which("ffmpeg") is None,
+                    reason="real ffmpeg not installed")
+def test_mp4_path_real_ffmpeg(tmp_path):
+    """Where a real ffmpeg exists, round-trip an actual encoded mp4."""
+    import subprocess
+
+    t, h, w = 4, 16, 16
+    raw = (np.linspace(0, 255, t * h * w * 3) % 255).astype(np.uint8)
+    src = tmp_path / "src.raw"
+    src.write_bytes(raw.tobytes())
+    clip = tmp_path / "clip.mp4"
+    subprocess.run(
+        ["ffmpeg", "-v", "error", "-f", "rawvideo", "-pix_fmt", "rgb24",
+         "-s", f"{w}x{h}", "-r", "25", "-i", str(src),
+         "-pix_fmt", "yuv420p", str(clip)], check=True)
+
+    from mocov2_whisper_flamingo_tpu.datamodule.av_dataset import (
+        probe_video_frames, read_video)
+
+    assert probe_video_frames(str(clip), default=-1) == t
+    frames = read_video(str(clip))
+    assert frames.shape == (t, 3, h, w)
