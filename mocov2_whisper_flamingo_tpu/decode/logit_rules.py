@@ -69,10 +69,13 @@ class LogitRules:
     @classmethod
     def for_whisper(cls, generation_config, vocab_size: int,
                     timestamps: bool = False) -> "LogitRules":
-        """Build from an HF ``GenerationConfig``-like object (the converter
-        path: ``WhisperForConditionalGeneration.generation_config`` carries
-        the published suppress lists)."""
-        get = lambda k, d=None: getattr(generation_config, k, d)
+        """Build from an HF ``GenerationConfig``-like object or a plain dict
+        (e.g. a loaded ``generation_config.json`` — the published Whisper
+        checkpoints carry their suppress lists there)."""
+        if isinstance(generation_config, dict):
+            get = lambda k, d=None: generation_config.get(k, d)
+        else:
+            get = lambda k, d=None: getattr(generation_config, k, d)
         return cls(
             vocab_size=vocab_size,
             suppress=tuple(get("suppress_tokens") or ()),

@@ -72,8 +72,11 @@ class WhisperASR:
         max_len: int = 224,
         eos_id: int = 50257,
         pad_to: int | None = 480_000,
+        logit_rules=None,
     ) -> jnp.ndarray:
-        """wav -> token ids [B, max_len] (best beam when beam_size > 1)."""
+        """wav -> token ids [B, max_len] (best beam when beam_size > 1).
+        ``logit_rules``: optional ``decode.LogitRules`` with the HF-default
+        Whisper suppress/forced/timestamp semantics."""
         mel = self.features(audio, pad_to=pad_to)
         enc = self.encode(params, mel)
         # Decoder params cast to the compute dtype ONCE (not per token step).
@@ -83,8 +86,10 @@ class WhisperASR:
             params["decoder"])
         if beam_size <= 1:
             return greedy_decode(self.decoder, dec_params, enc,
-                                 prefix_ids, max_len, eos_id)
+                                 prefix_ids, max_len, eos_id,
+                                 logit_rules=logit_rules)
         res: BeamResult = beam_search(self.decoder, dec_params, enc,
                                       prefix_ids, beam_size=beam_size,
-                                      max_len=max_len, eos_id=eos_id)
+                                      max_len=max_len, eos_id=eos_id,
+                                      logit_rules=logit_rules)
         return res.sequences[:, 0]

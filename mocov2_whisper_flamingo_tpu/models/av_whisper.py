@@ -145,16 +145,21 @@ class AVWhisperNet:
         return self.decoder.fuse_decode_params(cast)
 
     def greedy(self, params: dict, input_batch: tuple, prefix_ids,
-               max_len: int = 224, eos_id: int = 0) -> jnp.ndarray:
+               max_len: int = 224, eos_id: int = 0,
+               logit_rules=None) -> jnp.ndarray:
         features, valid = self.encode(params, input_batch)
         return greedy_decode(self.decoder, self._decode_params(params), features,
-                             prefix_ids, max_len, eos_id, encoder_valid=valid)
+                             prefix_ids, max_len, eos_id, encoder_valid=valid,
+                             logit_rules=logit_rules)
 
     def beam(self, params: dict, input_batch: tuple, prefix_ids,
              beam_size: int = 5, max_len: int = 224, eos_id: int = 0,
-             length_penalty: float = 1.0) -> BeamResult:
+             length_penalty: float = 1.0, logit_rules=None) -> BeamResult:
+        """``logit_rules``: optional ``decode.LogitRules`` (HF-default
+        Whisper suppress/forced/timestamp semantics — required for WER
+        parity with HF ``generate`` once pretrained weights load)."""
         features, valid = self.encode(params, input_batch)
         return beam_search(self.decoder, self._decode_params(params), features,
                            prefix_ids, beam_size=beam_size, max_len=max_len,
                            eos_id=eos_id, length_penalty=length_penalty,
-                           encoder_valid=valid)
+                           encoder_valid=valid, logit_rules=logit_rules)

@@ -78,7 +78,7 @@ def evaluate_ctc_greedy(net, params, datamodule, tokenizer, split="test") -> dic
 
 
 def evaluate_beam(net, params, datamodule, tokenizer, beam_size=5,
-                  max_len=224, split="test") -> dict:
+                  max_len=224, split="test", logit_rules=None) -> dict:
     import jax
 
     from mocov2_whisper_flamingo_tpu.utils.wer import wer as corpus_wer
@@ -96,7 +96,7 @@ def evaluate_beam(net, params, datamodule, tokenizer, beam_size=5,
                                  batch["video"], batch["video_mask"],
                                  batch["video_lengths"]),
                         prefix, beam_size=beam_size, max_len=max_len,
-                        eos_id=eos).sequences[:, 0]
+                        eos_id=eos, logit_rules=logit_rules).sequences[:, 0]
 
     refs, hyps = [], []
     for batch in loader:
@@ -140,6 +140,14 @@ def main() -> None:
     parser.add_argument("--beam-size", type=int, default=5)
     parser.add_argument("--checkpoint", default=None)
     parser.add_argument("--predictions-out", default=None)
+    parser.add_argument(
+        "--generation-config", default=None,
+        help="path to an HF generation_config.json: applies its "
+             "suppress_tokens / begin_suppress_tokens / forced ids during "
+             "beam decode (real-weight Whisper decode semantics)")
+    parser.add_argument("--timestamps", action="store_true",
+                        help="enable the Whisper timestamp grammar "
+                             "(requires --generation-config)")
     args = parser.parse_args()
     config = config_from_args(args)
     logging.basicConfig(level=logging.INFO)
@@ -174,8 +182,17 @@ def main() -> None:
     if args.mode == "ctc-greedy":
         report = evaluate_ctc_greedy(net, params, datamodule, tokenizer, args.split)
     else:
+        rules = None
+        if args.generation_config:
+            from mocov2_whisper_flamingo_tpu.decode import LogitRules
+
+            with open(args.generation_config, encoding="utf-8") as f:
+                rules = LogitRules.for_whisper(
+                    json.load(f), vocab_size=datamodule.vocab_size,
+                    timestamps=args.timestamps)
         report = evaluate_beam(net, params, datamodule, tokenizer,
-                               args.beam_size, split=args.split)
+                               args.beam_size, split=args.split,
+                               logit_rules=rules)
 
     if args.predictions_out:
         write_predictions(report, args.predictions_out)
