@@ -223,6 +223,11 @@ def get_config(overrides: Iterable[str] | Mapping[str, Any] | None = None) -> Co
             # pad-to-batch-max behavior.
             quantize_batch_sizes=True,
             target_len_buckets=(64, 128, 256, 448),
+            # Inter-batch prefetch depth (0 = synchronous loader): batch
+            # N+1's fetch+collate+H2D overlaps step N's device compute —
+            # the torch DataLoader worker/pin_memory overlap analog
+            # (reference: data_module.py:243-252).
+            prefetch_batches=2,
             dataset=ConfigDict(root_dir=DATA_ROOT),
         ),
         model=ConfigDict(

@@ -183,6 +183,7 @@ class DataModule:
         self.val_batch_size = data["val_batch_size"]
         self.test_batch_size = data["test_batch_size"]
         self.num_workers = data["num_workers"]
+        self.prefetch_batches = data.get("prefetch_batches", 2)
         self.max_frames = data["max_frames"]
         self.max_frames_val = data["max_frames_val"]
         self.rate_ratio = data["rate_ratio"]
@@ -263,18 +264,21 @@ class DataModule:
             self.setup("fit")
         return DataLoader(self.train_dataset,
                           self._get_sampler(self.train_dataset, self.batch_size, True),
-                          collate=self._collate, num_workers=self.num_workers)
+                          collate=self._collate, num_workers=self.num_workers,
+                          prefetch_batches=self.prefetch_batches)
 
     def val_dataloader(self) -> DataLoader:
         if self.val_dataset is None:
             self.setup("fit")
         return DataLoader(self.val_dataset,
                           self._get_sampler(self.val_dataset, self.val_batch_size, False),
-                          collate=self._collate, num_workers=self.num_workers)
+                          collate=self._collate, num_workers=self.num_workers,
+                          prefetch_batches=self.prefetch_batches)
 
     def test_dataloader(self) -> DataLoader:
         if self.test_dataset is None:
             self.setup("test")
         return DataLoader(self.test_dataset,
                           self._get_sampler(self.test_dataset, self.test_batch_size, False),
-                          collate=self._collate, num_workers=self.num_workers)
+                          collate=self._collate, num_workers=self.num_workers,
+                          prefetch_batches=self.prefetch_batches)

@@ -151,6 +151,11 @@ class Trainer:
 
         self._step_fn = None
         self.global_step = 0
+        # Optional per-step wall-clock trace (set to [] before fit to
+        # enable): timestamps are taken after each async step DISPATCH, so
+        # inter-step gaps expose host-side stalls (data prep not hidden by
+        # the prefetch loader) without forcing device syncs.
+        self.step_timestamps: list[float] | None = None
 
     @staticmethod
     def _next_version_dir(base: str) -> str:
@@ -254,6 +259,8 @@ class Trainer:
                 placed.pop("target_text", None)
                 params, opt_state, losses = self._step_fn(params, opt_state, placed, sub)
                 self.global_step += 1
+                if self.step_timestamps is not None:
+                    self.step_timestamps.append(time.perf_counter())
                 if max_steps and self.global_step >= max_steps:
                     break
                 if self.global_step % self.log_every == 0:

@@ -1,0 +1,142 @@
+#!/usr/bin/env python
+"""Sustained real-data training run on the TPU (BASELINE validation).
+
+The round-2 gap: training had only been proven on synthetic in-memory
+micro-runs, so the compile-bucketing machinery (QuantizedBatchSampler +
+target-length buckets) had never been validated against the 30 s-10 min
+remote-compile costs it exists to bound, and host-side stalls were
+unmeasured. This script:
+
+1. generates a few-hundred-clip on-disk dataset in the reference layout
+   (variable 150-400 frame clips, 6-16 s wavs, variable-length texts —
+   reference: av_dataset.py:110-138);
+2. runs the real Trainer.fit loop (full-size AVNet: frozen whisper-small +
+   frozen ResNet-50 + trainable fusion) for --steps steps;
+3. reports steady-state ms/step, the number of DISTINCT COMPILED STEP
+   SHAPES (jit cache size — must stay ~batch_buckets x target_buckets),
+   and the host-stall picture (inter-step dispatch gaps; compare
+   --prefetch 0 vs 2 for the loader-overlap win).
+
+Run exclusively on the chip (CLAUDE.md: never two TPU processes at once):
+
+    python tools/sustained_train.py --steps 220 --prefetch 2
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+import wave as wave_mod
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+WORDS = ("xin chao cac ban toi ten la nam den tu ha noi hom nay troi dep "
+         "chung ta cung hoc tieng viet nhe cam on rat nhieu").split()
+
+
+def make_dataset(root: str, n_clips: int, seed: int = 0) -> None:
+    rng = np.random.default_rng(seed)
+    for split, n in (("train", n_clips), ("val", 8)):
+        vdir = os.path.join(root, split, f"{split}_video_seg12s", "spk")
+        tdir = os.path.join(root, split, f"{split}_text_seg12s", "spk")
+        os.makedirs(vdir, exist_ok=True)
+        os.makedirs(tdir, exist_ok=True)
+        for i in range(n):
+            t_frames = int(rng.integers(150, 401))
+            frames = rng.integers(0, 255, (t_frames, 64, 64, 3), dtype=np.uint8)
+            np.save(os.path.join(vdir, f"clip{i}.npy"), frames)
+            n_samp = int(t_frames / 25.0 * 16000)
+            tt = np.arange(n_samp) / 16000
+            x = 0.3 * np.sin(2 * np.pi * (200 + 20 * (i % 17)) * tt)
+            with wave_mod.open(os.path.join(vdir, f"clip{i}.wav"), "wb") as w:
+                w.setnchannels(1)
+                w.setsampwidth(2)
+                w.setframerate(16000)
+                w.writeframes((x * 32767).astype("<i2").tobytes())
+            n_words = int(rng.integers(5, 30))
+            text = " ".join(rng.choice(WORDS, n_words))
+            with open(os.path.join(tdir, f"clip{i}.txt"), "w") as f:
+                f.write(text)
+
+
+def main() -> None:
+    parser = argparse.ArgumentParser(description=__doc__)
+    parser.add_argument("--data-root", default="/tmp/avsr_sustained_data")
+    parser.add_argument("--n-clips", type=int, default=200)
+    parser.add_argument("--steps", type=int, default=220)
+    parser.add_argument("--prefetch", type=int, default=2)
+    parser.add_argument("--num-workers", type=int, default=4)
+    parser.add_argument("--batch-size", type=int, default=4)
+    parser.add_argument("--no-remat", action="store_true")
+    parser.add_argument("--out", default=None, help="append the JSON result here")
+    args = parser.parse_args()
+
+    marker = os.path.join(args.data_root, f".generated_{args.n_clips}")
+    if not os.path.exists(marker):
+        t0 = time.time()
+        make_dataset(args.data_root, args.n_clips)
+        open(marker, "w").close()
+        print(f"[data] generated {args.n_clips} clips in {time.time()-t0:.0f}s")
+
+    import jax
+
+    from mocov2_whisper_flamingo_tpu.config import get_config
+    from mocov2_whisper_flamingo_tpu.datamodule.data_module import DataModule
+    from mocov2_whisper_flamingo_tpu.training.trainer import Trainer
+    from train import build_net
+
+    config = get_config({
+        "data.root_dir": args.data_root,
+        "data.batch_size": args.batch_size,
+        "data.num_workers": args.num_workers,
+        "data.prefetch_batches": args.prefetch,
+        "training.epochs": 64,  # stop on --steps
+        "output.log_every_n_steps": 50,
+        "output.log_dir": "/tmp/avsr_sustained_logs",
+        "output.checkpoint_dir": "/tmp/avsr_sustained_ckpt",
+        **({"precision.rematerialize": False} if args.no_remat else {}),
+    })
+
+    datamodule = DataModule(config)
+    datamodule.setup("fit")
+    net, params = build_net(config, datamodule.vocab_size)
+    trainer = Trainer(net, config, tokenizer=datamodule.tokenizer)
+    trainer.step_timestamps = []
+
+    t_fit = time.time()
+    trainer.fit(datamodule, params, max_steps=args.steps)
+    wall = time.time() - t_fit
+
+    ts = np.asarray(trainer.step_timestamps)
+    gaps = np.diff(ts) * 1e3  # ms between step dispatches
+    warm = gaps[20:] if len(gaps) > 40 else gaps
+    cache_size = None
+    try:
+        cache_size = trainer._step_fn._cache_size()
+    except Exception:
+        pass
+    result = {
+        "steps": int(len(ts)),
+        "prefetch": args.prefetch,
+        "num_workers": args.num_workers,
+        "remat": not args.no_remat,
+        "wall_s": round(wall, 1),
+        "steady_ms_per_step_median": round(float(np.median(warm)), 2),
+        "steady_ms_per_step_mean": round(float(np.mean(warm)), 2),
+        "steady_ms_per_step_p90": round(float(np.percentile(warm, 90)), 2),
+        "compiled_step_shapes": cache_size,
+        "n_compile_stalls_gt_1s": int((warm > 1000).sum()),
+    }
+    print(json.dumps(result))
+    if args.out:
+        with open(args.out, "a") as f:
+            f.write(json.dumps(result) + "\n")
+
+
+if __name__ == "__main__":
+    main()
