@@ -100,6 +100,7 @@ def beam_search(
     early_stopping: bool = False,
     use_ancestry: bool = True,
     logit_rules=None,
+    cache_quant: str | None = None,
 ) -> BeamResult:
     """Batched beam search; returns the K best finished hypotheses per
     example, best first. EOS-terminated hypotheses include their EOS; the
@@ -114,7 +115,11 @@ def beam_search(
     ``logit_rules``: optional ``decode.logit_rules.LogitRules`` — HF-default
     Whisper decode semantics (suppress/begin-suppress/forced tokens,
     timestamp grammar), applied to the log-softmaxed scores each step
-    exactly where HF's logits processors run in its beam loop."""
+    exactly where HF's logits processors run in its beam loop.
+
+    ``cache_quant="int8"``: int8 KV caches with folded scales
+    (models/whisper.py ``init_cache``) — halves per-step cache HBM traffic
+    for bandwidth-bound wide buckets at ~0.4% per-row quantization error."""
     b = encoder_out.shape[0]
     k = beam_size
     k2 = 2 * k
@@ -126,7 +131,8 @@ def beam_search(
     # be identical copies) — each example's cross cache is computed and read
     # once per step regardless of beam width, and never reordered.
     enc_valid = encoder_valid
-    cache = decoder.init_cache(params, encoder_out, max_len=max_len, beam_groups=k)
+    cache = decoder.init_cache(params, encoder_out, max_len=max_len, beam_groups=k,
+                               quant=cache_quant)
 
     run_tokens = jnp.full((b, k, max_len), eos_id, dtype=jnp.int32)
     run_tokens = run_tokens.at[:, :, :n_prefix].set(prefix[None, None, :])

@@ -21,6 +21,7 @@ def greedy_decode(
     eos_id: int = 0,
     encoder_valid: jnp.ndarray | None = None,
     logit_rules=None,
+    cache_quant: str | None = None,
 ) -> jnp.ndarray:
     """Returns token ids [B, max_len] (prefix included, EOS-padded).
 
@@ -35,7 +36,7 @@ def greedy_decode(
     prefix = jnp.asarray(prefix_ids, dtype=jnp.int32)
     n_prefix = prefix.shape[0]
 
-    cache = decoder.init_cache(params, encoder_out, max_len=max_len)
+    cache = decoder.init_cache(params, encoder_out, max_len=max_len, quant=cache_quant)
     tokens0 = jnp.full((b, max_len), eos_id, dtype=jnp.int32)
     tokens0 = jax.lax.dynamic_update_slice(
         tokens0, jnp.broadcast_to(prefix[None], (b, n_prefix)), (0, 0))

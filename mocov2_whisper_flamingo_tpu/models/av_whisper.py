@@ -154,7 +154,8 @@ class AVWhisperNet:
 
     def beam(self, params: dict, input_batch: tuple, prefix_ids,
              beam_size: int = 5, max_len: int = 224, eos_id: int = 0,
-             length_penalty: float = 1.0, logit_rules=None) -> BeamResult:
+             length_penalty: float = 1.0, logit_rules=None,
+             cache_quant: str | None = None) -> BeamResult:
         """``logit_rules``: optional ``decode.LogitRules`` (HF-default
         Whisper suppress/forced/timestamp semantics — required for WER
         parity with HF ``generate`` once pretrained weights load)."""
@@ -162,4 +163,5 @@ class AVWhisperNet:
         return beam_search(self.decoder, self._decode_params(params), features,
                            prefix_ids, beam_size=beam_size, max_len=max_len,
                            eos_id=eos_id, length_penalty=length_penalty,
-                           encoder_valid=valid, logit_rules=logit_rules)
+                           encoder_valid=valid, logit_rules=logit_rules,
+                           cache_quant=cache_quant)

@@ -91,7 +91,26 @@ def _merge_heads(x: jnp.ndarray) -> jnp.ndarray:
     return x.reshape(b, t, h * dh)
 
 
-def _ancestry_attention(q, k, v, ancestry, cache_index):
+def _quantize_kv(x: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Symmetric per-(position, head) int8 quantization of K/V rows.
+
+    x: [..., H, Dh] -> (int8 values, f32 scales [..., H]). Each head's
+    Dh-vector gets one max-abs scale — the row is written ONCE (append-only
+    cache) and read every subsequent step, so decode becomes cheaper the
+    moment the int8 read replaces the bf16 read: at the B=16 serving bucket
+    the step is HBM-bandwidth-bound on cache traffic (BENCH_r02: 8.78
+    ms/step) and the cache bytes halve. Scales are folded into the
+    attention algebra (score x k_scale after the QK dot; v_scale into the
+    probabilities before the PV dot), so nothing is dequantized in HBM.
+    """
+    scale = jnp.max(jnp.abs(x.astype(jnp.float32)), axis=-1) / 127.0
+    scale = jnp.maximum(scale, 1e-8)
+    q = jnp.round(x.astype(jnp.float32) / scale[..., None]).astype(jnp.int8)
+    return q, scale
+
+
+def _ancestry_attention(q, k, v, ancestry, cache_index,
+                        k_scale=None, v_scale=None):
     """Single-query self-attention over an APPEND-ONLY beam cache.
 
     Beam search normally reorders the KV cache every step so physical row n
@@ -113,6 +132,9 @@ def _ancestry_attention(q, k, v, ancestry, cache_index):
     implementation.
 
     q: [B*K, 1, H, Dh]; k, v: [B*K, L, H, Dh]; ancestry: [B, K, K, L].
+    ``k_scale``/``v_scale`` [B*K, L, H]: present when the cache is int8
+    (``init_cache(quant="int8")``) — the HBM reads stay int8 and the
+    per-(position, head) scales fold into the score/probability algebra.
     Returns [B*K, 1, H, Dh].
     """
     bk, _, h, dh = q.shape
@@ -121,14 +143,22 @@ def _ancestry_attention(q, k, v, ancestry, cache_index):
     k5 = k.reshape(b, kk, *k.shape[1:])  # [B, J, L, H, Dh]
     v5 = v.reshape(b, kk, *v.shape[1:])
     anc = ancestry.astype(jnp.float32)
-    s_all = jnp.einsum("bnhd,bjthd->bnjht", q4, k5,
+    s_all = jnp.einsum("bnhd,bjthd->bnjht", q4, k5.astype(q4.dtype),
                        preferred_element_type=jnp.float32)
+    if k_scale is not None:
+        # scale [B, J, L, H] -> broadcast over the beam (n) axis as [.., H, T]
+        ks = k_scale.reshape(b, kk, l_, h).transpose(0, 1, 3, 2)
+        s_all = s_all * ks[:, None]
     s = jnp.einsum("bnjht,bnjt->bnht", s_all, anc) * (dh ** -0.5)
     valid = jnp.arange(l_) <= cache_index
     s = jnp.where(valid[None, None, None, :], s, -1e30)
     p = jax.nn.softmax(s, axis=-1)
-    w = (p[:, :, None] * anc[:, :, :, None, :]).astype(q.dtype)  # [B,N,J,H,T]
-    out = jnp.einsum("bnjht,bjthd->bnhd", w, v5)
+    w = p[:, :, None] * anc[:, :, :, None, :]  # [B, N, J, H, T]
+    if v_scale is not None:
+        vs = v_scale.reshape(b, kk, l_, h).transpose(0, 1, 3, 2)
+        w = w * vs[:, None]
+    w = w.astype(q.dtype)
+    out = jnp.einsum("bnjht,bjthd->bnhd", w, v5.astype(q.dtype))
     return out.reshape(bk, 1, h, dh)
 
 
@@ -187,8 +217,13 @@ def attention_block(
             v = _split_heads(L.linear(params["v"], src, precision), n_heads)
         if cache is not None:
             # Incremental decode: write new K/V into the static-size cache.
-            k = k.astype(cache["k"].dtype)
-            v = v.astype(cache["v"].dtype)
+            quant = "k_scale" in cache
+            if quant:
+                k, k_s = _quantize_kv(k)
+                v, v_s = _quantize_kv(v)
+            else:
+                k = k.astype(cache["k"].dtype)
+                v = v.astype(cache["v"].dtype)
             if write_gate is not None:
                 old_k = jax.lax.dynamic_slice(
                     cache["k"], (0, cache_index, 0, 0), k.shape)
@@ -196,13 +231,30 @@ def attention_block(
                     cache["v"], (0, cache_index, 0, 0), v.shape)
                 k = jnp.where(write_gate, k, old_k)
                 v = jnp.where(write_gate, v, old_v)
+                if quant:
+                    k_s = jnp.where(write_gate, k_s, jax.lax.dynamic_slice(
+                        cache["k_scale"], (0, cache_index, 0), k_s.shape))
+                    v_s = jnp.where(write_gate, v_s, jax.lax.dynamic_slice(
+                        cache["v_scale"], (0, cache_index, 0), v_s.shape))
             k = jax.lax.dynamic_update_slice(cache["k"], k, (0, cache_index, 0, 0))
             v = jax.lax.dynamic_update_slice(cache["v"], v, (0, cache_index, 0, 0))
             new_cache = {"k": k, "v": v}
+            k_scale = v_scale = None
+            if quant:
+                k_scale = jax.lax.dynamic_update_slice(
+                    cache["k_scale"], k_s, (0, cache_index, 0))
+                v_scale = jax.lax.dynamic_update_slice(
+                    cache["v_scale"], v_s, (0, cache_index, 0))
+                new_cache["k_scale"] = k_scale
+                new_cache["v_scale"] = v_scale
             if ancestry is not None:
-                out = _ancestry_attention(q, k, v, ancestry, cache_index)
+                out = _ancestry_attention(q, k, v, ancestry, cache_index,
+                                          k_scale=k_scale, v_scale=v_scale)
                 return (L.linear(params["out"], _merge_heads(out), precision),
                         new_cache)
+            if quant:  # row-aligned path: dequantize at the consumer
+                k = k.astype(q.dtype) * k_scale[..., None].astype(q.dtype)
+                v = v.astype(q.dtype) * v_scale[..., None].astype(q.dtype)
             # Only positions < cache_index + q_len are valid.
             t_max = k.shape[1]
             pos = jnp.arange(t_max)[None, :]
@@ -383,7 +435,7 @@ class WhisperDecoder:
 
     def init_cache(self, params: L.Params, encoder_out: jnp.ndarray,
                    max_len: int | None = None, dtype=None,
-                   beam_groups: int = 1) -> list[dict]:
+                   beam_groups: int = 1, quant: str | None = None) -> list[dict]:
         """Pre-allocate per-layer self-attn caches and precompute cross-attn
         K/V from the encoder output (computed once per utterance — the big
         win of KV-cached decoding).
@@ -393,6 +445,11 @@ class WhisperDecoder:
         the cross K/V stays B-major (one copy per example instead of per
         beam: the rows would be identical, so this cuts the dominant
         cross-cache HBM read per step by K and the reorder traffic to zero).
+
+        ``quant="int8"``: store BOTH caches as int8 with per-(position,
+        head) scales (see ``_quantize_kv``) — halves the per-step cache HBM
+        traffic for the bandwidth-bound wide serving buckets. The cross K/V
+        is quantized once here; self rows are quantized at write time.
         """
         cfg = self.config
         b = encoder_out.shape[0]
@@ -404,16 +461,29 @@ class WhisperDecoder:
             dtype = prec.compute_dtype
         caches = []
         enc = prec.cast(encoder_out)
+        rows = b * beam_groups
         for lp in params["layers"]:
             ck = _split_heads(L.linear(lp["cross_attn"]["k"], enc, prec), cfg.n_heads)
             cv = _split_heads(L.linear(lp["cross_attn"]["v"], enc, prec), cfg.n_heads)
-            caches.append({
-                "self": {
-                    "k": jnp.zeros((b * beam_groups, max_len, cfg.n_heads, cfg.head_dim), dtype),
-                    "v": jnp.zeros((b * beam_groups, max_len, cfg.n_heads, cfg.head_dim), dtype),
-                },
-                "cross": {"k": ck.astype(dtype), "v": cv.astype(dtype)},
-            })
+            if quant == "int8":
+                ckq, cks = _quantize_kv(ck)
+                cvq, cvs = _quantize_kv(cv)
+                cross = {"k": ckq, "k_scale": cks, "v": cvq, "v_scale": cvs}
+                self_cache = {
+                    "k": jnp.zeros((rows, max_len, cfg.n_heads, cfg.head_dim), jnp.int8),
+                    "k_scale": jnp.zeros((rows, max_len, cfg.n_heads), jnp.float32),
+                    "v": jnp.zeros((rows, max_len, cfg.n_heads, cfg.head_dim), jnp.int8),
+                    "v_scale": jnp.zeros((rows, max_len, cfg.n_heads), jnp.float32),
+                }
+            elif quant is not None:
+                raise ValueError(f"unknown cache quant {quant!r}")
+            else:
+                cross = {"k": ck.astype(dtype), "v": cv.astype(dtype)}
+                self_cache = {
+                    "k": jnp.zeros((rows, max_len, cfg.n_heads, cfg.head_dim), dtype),
+                    "v": jnp.zeros((rows, max_len, cfg.n_heads, cfg.head_dim), dtype),
+                }
+            caches.append({"self": self_cache, "cross": cross})
         return caches
 
     def _cross_step(self, lp: L.Params, x: jnp.ndarray, cross: dict,
@@ -435,12 +505,17 @@ class WhisperDecoder:
         v = cross["v"].astype(q.dtype)
         s = jnp.einsum("bghd,bthd->bght", q, k,
                        preferred_element_type=jnp.float32) * (dh ** -0.5)
+        if "k_scale" in cross:  # int8 cross cache: fold scales post-dot
+            s = s * cross["k_scale"].transpose(0, 2, 1)[:, None]  # [B,1,H,T]
         if encoder_valid is not None:
             ev = encoder_valid
             if ev.shape[0] != b_enc:  # tolerate pre-repeated masks
                 ev = ev[::groups]
             s = jnp.where(ev[:, None, None, :], s, -1e30)
-        p = jax.nn.softmax(s, axis=-1).astype(q.dtype)
+        p = jax.nn.softmax(s, axis=-1)
+        if "v_scale" in cross:  # fold v scales into the probabilities
+            p = p * cross["v_scale"].transpose(0, 2, 1)[:, None]
+        p = p.astype(q.dtype)
         a = jnp.einsum("bght,bthd->bghd", p, v)
         a = a.reshape(rows, 1, h_ * dh)
         return L.linear(lp["cross_attn"]["out"], a, prec)

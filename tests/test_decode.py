@@ -399,3 +399,48 @@ def test_streaming_exhaustion_steps_are_noops(setup):
             np.testing.assert_array_equal(
                 np.asarray(le[name], dtype=np.float32),
                 np.asarray(lx[name], dtype=np.float32))
+
+
+# ---------------------------------------------------------------------------
+# int8 KV cache (bandwidth lever for wide serving buckets)
+# ---------------------------------------------------------------------------
+
+
+def test_int8_cache_logits_tolerance(setup):
+    """Teacher-forcing the same tokens through an int8 cache and a full-
+    precision cache must give step logits within quantization tolerance
+    (per-(position, head) max-abs int8 => ~0.4% per-row error)."""
+    dec, params, enc_out = setup
+    max_len = 10
+    cache_fp = dec.init_cache(params, enc_out, max_len=max_len)
+    cache_q = dec.init_cache(params, enc_out, max_len=max_len, quant="int8")
+    rng = np.random.default_rng(5)
+    b = enc_out.shape[0]
+    spread = None
+    for i in range(max_len - 2):
+        cur = jnp.asarray(rng.integers(4, CFG.vocab_size, (b, 1)), jnp.int32)
+        lf, cache_fp = dec.decode_step(params, cur, cache_fp, jnp.int32(i))
+        lq, cache_q = dec.decode_step(params, cur, cache_q, jnp.int32(i))
+        lf, lq = np.asarray(lf), np.asarray(lq)
+        spread = lf.max() - lf.min()
+        assert np.abs(lf - lq).max() < 0.05 * spread, f"step {i}"
+
+
+def test_int8_cache_greedy_and_beam_run(setup):
+    """End-to-end decode through the int8 cache: greedy tokens match the
+    fp cache on random weights (argmax margins >> quant error) and beam
+    scores stay close."""
+    dec, params, enc_out = setup
+    g_fp = np.asarray(greedy_decode(dec, params, enc_out, PREFIX, 12, EOS))
+    g_q = np.asarray(greedy_decode(dec, params, enc_out, PREFIX, 12, EOS,
+                                   cache_quant="int8"))
+    agree = (g_fp == g_q).mean()
+    assert agree > 0.9, f"greedy token agreement {agree}"
+
+    r_fp = beam_search(dec, params, enc_out, PREFIX, beam_size=3, max_len=12,
+                       eos_id=EOS)
+    r_q = beam_search(dec, params, enc_out, PREFIX, beam_size=3, max_len=12,
+                      eos_id=EOS, cache_quant="int8")
+    np.testing.assert_allclose(np.asarray(r_q.scores)[:, 0],
+                               np.asarray(r_fp.scores)[:, 0],
+                               rtol=0.15, atol=0.3)
