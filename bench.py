@@ -99,8 +99,13 @@ def jax_block(tree):
                  if hasattr(x, "block_until_ready") else x, tree)
 
 
-def bench_size(whisper_name: str, b: int = B, iters: int = 5):
-    """Measure one model size; returns a dict of timings."""
+def bench_size(whisper_name: str, b: int = B, iters: int = 5,
+               cache_quant: str | None = None):
+    """Measure one model size; returns a dict of timings.
+
+    ``cache_quant="int8"``: int8 KV caches (models/whisper.py) — the
+    bandwidth lever for the wide serving buckets where cache traffic
+    dominates the decode step."""
     import jax
 
     net, params = _build(whisper_name)
@@ -110,7 +115,7 @@ def bench_size(whisper_name: str, b: int = B, iters: int = 5):
     def make_fns(net):
         decode = jax.jit(lambda p, bt: net.beam(
             p, _preprocess(bt), PREFIX, beam_size=BEAM, max_len=MAX_TOKENS,
-            eos_id=EOS).sequences)
+            eos_id=EOS, cache_quant=cache_quant).sequences)
         encode = jax.jit(lambda p, bt: net.encode(p, _preprocess(bt)))
         return decode, encode
 
@@ -148,11 +153,19 @@ def bench_size(whisper_name: str, b: int = B, iters: int = 5):
     }
 
 
-def bench_streaming(net, params) -> float:
+def bench_streaming(net, params, long_chunks: int = 20) -> tuple[float, float, int]:
     """Full-AV chunked streaming (BASELINE config 5 shape): per 30 s chunk
     one jitted AV encode + one jitted beam decode dispatch, persistent
-    decoder KV cache across chunks. Returns the steady-state realtime
-    factor for 5 minutes of audio at B=1."""
+    decoder KV cache across chunks; window rollover past the 448-token
+    budget (context restart — the transcript is unbounded, nothing is
+    silently truncated).
+
+    Returns (rtf_5min, rtf_longform, longform_tokens): the steady-state
+    realtime factor for 5 minutes of audio at B=1, and the 10-minute
+    (``long_chunks`` x 30 s) leg that crosses ~2 window rollovers. With
+    ``context_tokens=0`` a rolled window has the same prefix length as
+    window 0, so the long-form leg reuses the already-compiled chunk fns
+    (no mid-measurement compiles)."""
     import jax
 
     from mocov2_whisper_flamingo_tpu.decode.streaming import StreamingDecoder
@@ -183,7 +196,17 @@ def bench_streaming(net, params) -> float:
         one_chunk(i)  # collect=False: chunks pipeline, no per-chunk sync
     stream.collected_tokens()  # one final drain closes the timed region
     dt = time.perf_counter() - t0
-    return STREAM_CHUNKS * SECONDS_PER_CLIP / dt
+
+    # Long-form leg: same decoder instance (compiled fns retained), fresh
+    # stream state; ~2 rollovers inside the timed region.
+    stream.reset()
+    t0 = time.perf_counter()
+    for i in range(long_chunks):
+        one_chunk(i)
+    n_tokens = len(stream.collected_tokens())
+    dt_long = time.perf_counter() - t0
+    return (STREAM_CHUNKS * SECONDS_PER_CLIP / dt,
+            long_chunks * SECONDS_PER_CLIP / dt_long, n_tokens)
 
 
 def bench_train(b: int = 4, iters: int = 5) -> dict:
@@ -298,12 +321,16 @@ def main() -> None:
         except Exception as e:
             print(f"[bench] B=16 bucket failed: {e!r}", file=sys.stderr)
 
-    streaming_rtf = None
+    streaming_rtf = longform_rtf = None
     if not args.no_streaming:
         try:
-            streaming_rtf = bench_streaming(result["net"], result["params"])
+            streaming_rtf, longform_rtf, longform_tokens = bench_streaming(
+                result["net"], result["params"])
             print(f"[bench] streaming (5 min AV, beam={BEAM}): "
                   f"{streaming_rtf:.1f}x realtime", file=sys.stderr)
+            print(f"[bench] long-form (10 min AV, beam={BEAM}, ~2 window "
+                  f"rollovers, {longform_tokens} tokens): "
+                  f"{longform_rtf:.1f}x realtime", file=sys.stderr)
         except Exception as e:  # keep the headline line intact
             print(f"[bench] streaming failed: {e!r}", file=sys.stderr)
 
@@ -316,6 +343,7 @@ def main() -> None:
         "decode_ms_per_step": round(result["decode_ms_per_step"], 3),
         "decode_mfu_pct": result["mfu_pct"] and round(result["mfu_pct"], 2),
         "streaming_rtf": streaming_rtf and round(streaming_rtf, 2),
+        "longform_rtf": longform_rtf and round(longform_rtf, 2),
         "throughput_b16_rtf": throughput and round(throughput, 2),
     }))
 
