@@ -115,9 +115,12 @@ class StreamingDecoder:
 
     def reset(self) -> None:
         self.tokens = list(self.prefix_ids)
-        # Transcript committed from CLOSED windows (original prefix included;
-        # window re-prime context is never re-emitted).
+        # Transcript committed from CLOSED, DRAINED windows (original prefix
+        # included; window re-prime context is never re-emitted).
         self._committed = list(self.prefix_ids)
+        # Closed windows NOT yet read back: (token row [L], i_new, window
+        # prefix length) device triples — the sync-free rollover path.
+        self._stash: list[tuple] = []
         # The current window's forced prefix (context + prefix after a
         # rollover; the bare prefix for window 0).
         self._window_prefix = list(self.prefix_ids)
@@ -156,6 +159,10 @@ class StreamingDecoder:
         n_steps = self.max_tokens_per_chunk
         lp_pow = self.length_penalty
         rules = self.logit_rules
+        # With rollover the window restarts BEFORE the buffer can exhaust,
+        # so the exhaustion write-gate (and its per-layer slice cost) is
+        # only traced into the no-rollover program.
+        gate_writes = not self.rollover
 
         def fn(params, encoder_out, enc_valid, self_caches, tokens, i0):
             cross = _cross_caches(decoder, params, encoder_out)
@@ -188,8 +195,10 @@ class StreamingDecoder:
                     ancestry=anc,
                     # Past buffer exhaustion the scan keeps running (fixed
                     # trip count) — gate the cache write so the final slot
-                    # is never rewritten with post-reorder rows.
-                    write_gate=(i <= l_ - 2))
+                    # is never rewritten with post-reorder rows. (Rollover
+                    # restarts the window before exhaustion is reachable,
+                    # so the gate is traced only when rollover is off.)
+                    write_gate=(i <= l_ - 2) if gate_writes else None)
                 logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
                 if rules is not None:
                     logp = rules(logp, tokens, idx + 1, begin_index)
@@ -256,6 +265,16 @@ class StreamingDecoder:
 
     # -- window rollover -----------------------------------------------------
 
+    def _drain_stash(self) -> None:
+        """Read back the stashed closed windows into the committed
+        transcript (the only sync the sync-free rollover path ever pays,
+        deferred to the caller's next natural sync point)."""
+        for row, i_new, wp_len in self._stash:
+            r = np.asarray(row)
+            self._committed.extend(
+                int(t) for t in r[wp_len: int(i_new) + 1])
+        self._stash = []
+
     def _window_generation(self) -> list[int]:
         """Sync and return the current window's generated tokens (window
         prefix excluded)."""
@@ -269,24 +288,33 @@ class StreamingDecoder:
         """Restart the decoder window if the next chunk could overflow the
         token/PE budget. Host-side trigger on ``_i_bound`` (each chunk adds
         at most ``max_tokens_per_chunk``), so steady-state chunks stay
-        sync-free; the rollover itself costs the one sync that commits the
-        window."""
+        sync-free. With ``context_tokens=0`` the rollover itself is ALSO
+        sync-free: the closed window's token row is stashed on device and
+        read back at the next natural sync point (a collected chunk or
+        ``collected_tokens``), so a deferred-collect stream never stalls
+        mid-flight. Text conditioning needs the actual tokens, so
+        ``context_tokens>0`` pays one sync per rollover (~once per
+        max_len/max_tokens_per_chunk chunks)."""
         if not self.rollover or self._state is None:
             return
         if self._i_bound + self.max_tokens_per_chunk <= self.max_len - 2:
             return
-        self._committed = self._committed + self._window_generation()
-        ctx: list[int] = []
+        _, tokens, i_new = self._state
         if self.context_tokens > 0:
+            self._drain_stash()
+            self._committed = self._committed + self._window_generation()
             pool = [t for t in self._committed[len(self.prefix_ids):]
                     if t != self.eos_id]
             ctx = pool[-self.context_tokens:]
             if self.sot_prev_id is not None and ctx:
                 ctx = [self.sot_prev_id] + ctx
-        self._window_prefix = ctx + list(self.prefix_ids)
+            self._window_prefix = ctx + list(self.prefix_ids)
+            self.tokens = list(self._committed)
+        else:
+            self._stash.append((tokens[0], i_new, len(self._window_prefix)))
+            self._window_prefix = list(self.prefix_ids)
         self._state = None
         self._i_bound = len(self._window_prefix) - 1
-        self.tokens = list(self._committed)
 
     # -- public API ----------------------------------------------------------
 
@@ -318,13 +346,15 @@ class StreamingDecoder:
                             self.max_len - 1)
         if not collect:
             return []
+        self._drain_stash()  # collecting syncs anyway
         row = np.asarray(tokens[0])
         start, end = int(i0) + 1, int(i_new) + 1
-        # Collecting syncs anyway — replace the conservative bound with the
-        # true position (avoids premature rollovers after short chunks).
+        # Replace the conservative bound with the true position (avoids
+        # premature rollovers after short chunks).
         self._i_bound = int(i_new)
         new_tokens = [int(t) for t in row[start:end]]
-        self.tokens.extend(new_tokens)
+        self.tokens = self._committed + [
+            int(t) for t in row[len(self._window_prefix): end]]
         return new_tokens
 
     def collected_tokens(self) -> list[int]:
@@ -332,6 +362,7 @@ class StreamingDecoder:
         prefix included, window re-prime context excluded) — the one-sync
         companion of ``process_chunk(collect=False)``. Also reconciles
         ``self.tokens``."""
+        self._drain_stash()
         self.tokens = self._committed + self._window_generation()
         return list(self.tokens)
 
