@@ -178,6 +178,19 @@ class Trainer:
                 flat[section] = params
         with open(os.path.join(run_dir, "hparams.json"), "w") as f:
             json.dump(flat, f, indent=2, default=str)
+        # Lightning-style hparams.yaml twin (reference runs dump YAML,
+        # logs/avsr_logs/*/hparams.yaml) — flat scalars only, so the
+        # hand-rolled emitter needs no yaml dependency.
+        with open(os.path.join(run_dir, "hparams.yaml"), "w") as f:
+            for key in sorted(flat):
+                value = flat[key]
+                if value is None:
+                    value = "null"
+                elif isinstance(value, bool):
+                    value = "true" if value else "false"
+                elif isinstance(value, str):
+                    value = json.dumps(value)
+                f.write(f"{key}: {value}\n")
 
     # -- setup --------------------------------------------------------------------
 

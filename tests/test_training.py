@@ -161,6 +161,13 @@ def test_fit_runs_and_logs_on_mesh(trainer_setup):
     ckpt_dir = str(tmp_path / "ckpt")
     assert os.path.exists(os.path.join(ckpt_dir, "last.json"))
 
+    # Lightning-style hparams twins (reference dumps hparams.yaml per run)
+    assert os.path.exists(os.path.join(run_dir, "hparams.json"))
+    yaml_path = os.path.join(run_dir, "hparams.yaml")
+    assert os.path.exists(yaml_path)
+    lines = open(yaml_path).read().splitlines()
+    assert any(line.startswith("model_d_model: ") for line in lines)
+
 
 def test_checkpoint_roundtrip(trainer_setup):
     trainer, params, tmp_path = trainer_setup
