@@ -305,17 +305,18 @@ def _chunks(n, seed=7):
 def test_streaming_rollover_unbounded_transcript(setup):
     """With rollover, the committed transcript grows far past max_len —
     EOS suppressed via logit rules so every chunk generates full budget
-    (>600 tokens over 80 chunks against a 32-token window)."""
+    (320 tokens over 40 chunks against a 32-token window; the >600-token
+    real-scale run is the TPU long-form bench leg in bench.py)."""
     dec, params, _ = setup
     sd = StreamingDecoder(dec, params, PREFIX, max_len=32, eos_id=EOS,
                           max_tokens_per_chunk=8, beam_size=2,
                           rollover=True, context_tokens=6, sot_prev_id=4,
                           logit_rules=NO_EOS)
-    chunks = _chunks(80)
+    chunks = _chunks(40)
     total = 0
     for c in chunks:
         total += len(sd.process_chunk(c))
-    assert total == 80 * 8  # no truncation anywhere
+    assert total == 40 * 8  # no truncation anywhere
     collected = sd.collected_tokens()
     assert len(collected) == len(PREFIX) + total
     assert collected[: len(PREFIX)] == PREFIX
@@ -334,7 +335,7 @@ def test_streaming_rollover_deferred_collect_matches_eager(setup):
     kw = dict(max_len=24, eos_id=EOS, max_tokens_per_chunk=6, beam_size=3,
               rollover=True, context_tokens=4, sot_prev_id=4,
               logit_rules=NO_EOS)
-    chunks = _chunks(12, seed=9)
+    chunks = _chunks(8, seed=9)
     eager = StreamingDecoder(dec, params, PREFIX, **kw)
     for c in chunks:
         eager.process_chunk(c)
