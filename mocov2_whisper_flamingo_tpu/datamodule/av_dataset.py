@@ -13,11 +13,12 @@ datamodule/av_dataset.py):
 - any per-sample failure returns a zero-filled sample with correct shapes
   (the reference's crash-avoidance fault tolerance, av_dataset.py:236-238).
 
-Video decode: this environment has no FFmpeg, so the reader supports
-pre-decoded ``.npy``/``.npz`` clips ([T, H, W, C] or [T, C, H, W] uint8) and
-shells out to the ``ffmpeg`` CLI for ``.mp4`` when the binary exists —
-the host-side replacement for torchvision's libavcodec path
-(SURVEY.md §2.3). Audio goes through the native C++ wav reader/resampler.
+Video decode: ``.mp4`` is decoded IN-PROCESS via OpenCV (cv2 ships in this
+image) — the host-side replacement for torchvision's libavcodec path
+(reference: av_dataset.py:58-62, SURVEY.md §2.3) — with an ``ffmpeg``-CLI
+fallback for containers cv2's build cannot open. Pre-decoded ``.npy``/
+``.npz`` clips ([T, H, W, C] or [T, C, H, W] uint8) remain the zero-decode
+fast path. Audio goes through the native C++ wav reader/resampler.
 """
 
 from __future__ import annotations
@@ -56,6 +57,36 @@ def _ffmpeg_available() -> bool:
     return shutil.which("ffmpeg") is not None
 
 
+def _cv2():
+    try:
+        import cv2
+        return cv2
+    except ImportError:
+        return None
+
+
+def _read_mp4_video_cv2(path: str) -> np.ndarray:
+    """In-process mp4 decode via OpenCV (libavcodec under the hood)."""
+    cv2 = _cv2()
+    if cv2 is None:
+        raise RuntimeError("cv2 not available")
+    cap = cv2.VideoCapture(path)
+    try:
+        if not cap.isOpened():
+            raise RuntimeError(f"cv2 could not open {path}")
+        frames = []
+        while True:
+            ok, frame = cap.read()
+            if not ok:
+                break
+            frames.append(frame[..., ::-1])  # BGR -> RGB
+    finally:
+        cap.release()
+    if not frames:
+        raise RuntimeError(f"cv2 decoded zero frames from {path}")
+    return np.ascontiguousarray(np.stack(frames).transpose(0, 3, 1, 2))
+
+
 def _read_mp4_video(path: str, fps: int | None = None) -> np.ndarray:
     """Decode via the ffmpeg CLI into raw rgb24 (requires the binary)."""
     if not _ffmpeg_available():
@@ -79,6 +110,11 @@ def read_video(path: str) -> np.ndarray:
     if path.endswith((".npy", ".npz")):
         return _read_npy_video(path)
     if path.endswith(".mp4"):
+        try:
+            return _read_mp4_video_cv2(path)
+        except RuntimeError as e:
+            logger.debug("cv2 decode unavailable for %s (%s); trying ffmpeg CLI",
+                         path, e)
         return _read_mp4_video(path)
     raise ValueError(f"unsupported video format: {path}")
 
@@ -94,6 +130,16 @@ def probe_video_frames(path: str, default: int = 0) -> int:
             return int(shape[0])
         if path.endswith(".npz"):
             return int(_read_npy_video(path).shape[0])
+        if path.endswith(".mp4") and _cv2() is not None:
+            cv2 = _cv2()
+            cap = cv2.VideoCapture(path)
+            try:
+                if cap.isOpened():
+                    n = int(cap.get(cv2.CAP_PROP_FRAME_COUNT))
+                    if n > 0:
+                        return n
+            finally:
+                cap.release()
         if path.endswith(".mp4") and _ffmpeg_available():
             out = subprocess.run(
                 ["ffprobe", "-v", "error", "-select_streams", "v:0",

@@ -402,6 +402,41 @@ def test_mp4_path_via_stub_cli(tmp_path, monkeypatch):
     np.testing.assert_array_equal(frames, raw.transpose(0, 3, 1, 2))
 
 
+def test_mp4_in_process_cv2(tmp_path):
+    """A real encoded mp4 decodes IN-PROCESS via cv2 (no subprocess), matching
+    the reference's in-process torchvision/libavcodec path
+    (reference: av_dataset.py:58-62). Smooth frames survive lossy encode
+    within a loose tolerance; probe gets the count from container metadata."""
+    cv2 = pytest.importorskip("cv2")
+
+    t, h, w = 10, 32, 32
+    yy, xx = np.mgrid[0:h, 0:w]
+    frames = np.stack([
+        np.stack([(yy * 8 + i * 3) % 256, (xx * 8) % 256,
+                  np.full((h, w), 128)], axis=-1)
+        for i in range(t)]).astype(np.uint8)
+    clip = tmp_path / "clip.mp4"
+    writer = cv2.VideoWriter(str(clip), cv2.VideoWriter_fourcc(*"mp4v"),
+                             25, (w, h))
+    if not writer.isOpened():
+        pytest.skip("cv2 build has no mp4 encoder")
+    for f in frames:
+        writer.write(f[..., ::-1])
+    writer.release()
+
+    from mocov2_whisper_flamingo_tpu.datamodule.av_dataset import (
+        _read_mp4_video_cv2, probe_video_frames, read_video)
+
+    assert probe_video_frames(str(clip), default=-1) == t
+    got = read_video(str(clip))
+    assert got.shape == (t, 3, h, w)
+    # read_video must have used the in-process decoder (no ffmpeg binary in
+    # this image, so equality with the direct cv2 call proves the route).
+    np.testing.assert_array_equal(got, _read_mp4_video_cv2(str(clip)))
+    err = np.abs(got.transpose(0, 2, 3, 1).astype(int) - frames.astype(int))
+    assert err.mean() < 16  # lossy codec, smooth content
+
+
 @pytest.mark.skipif(__import__("shutil").which("ffmpeg") is None,
                     reason="real ffmpeg not installed")
 def test_mp4_path_real_ffmpeg(tmp_path):

@@ -105,7 +105,7 @@ def main() -> None:
     datamodule = DataModule(config)
     datamodule.setup("fit")
     net, params = build_net(config, datamodule.vocab_size)
-    trainer = Trainer(net, config, tokenizer=datamodule.tokenizer)
+    trainer = Trainer(config, net, tokenizer=datamodule.tokenizer)
     trainer.step_timestamps = []
 
     t_fit = time.time()
