@@ -273,12 +273,17 @@ def main() -> None:
     parser.add_argument("--no-streaming", action="store_true")
     parser.add_argument("--train", action="store_true",
                         help="bench the training step instead of decode")
+    parser.add_argument("--train-batch", type=int, default=4,
+                        help="batch size for --train (MFU scales with B)")
+    parser.add_argument("--b16-quant", default=None, choices=(None, "int8"),
+                        help="KV-cache quantization for the B=16 serving leg")
     args = parser.parse_args()
 
     if args.train:
-        r = bench_train()
+        r = bench_train(b=args.train_batch)
         print(json.dumps({
-            "metric": "AVNet joint CTC+CE train step (B=4, fwd+bwd+AdamW)",
+            "metric": f"AVNet joint CTC+CE train step "
+                      f"(B={args.train_batch}, fwd+bwd+AdamW)",
             "value": round(r["train_ms_per_step"], 2),
             "unit": "ms/step",
             "clips_per_sec": round(r["train_clips_per_sec"], 2),
@@ -312,9 +317,11 @@ def main() -> None:
         # so the wide bucket buys only a modest rtf gain — reported so the
         # serving-throughput curve is on record.
         try:
-            r16 = bench_size("whisper-small", b=16, iters=3)
+            r16 = bench_size("whisper-small", b=16, iters=3,
+                             cache_quant=args.b16_quant)
             throughput = r16["rtf"]
-            print(f"[bench] whisper-small B=16 serving bucket: "
+            print(f"[bench] whisper-small B=16 serving bucket"
+                  f"{' (int8 KV)' if args.b16_quant else ''}: "
                   f"rtf={throughput:.1f}x "
                   f"decode={r16['decode_ms_per_step']:.2f}ms/step",
                   file=sys.stderr)
