@@ -209,7 +209,7 @@ def bench_streaming(net, params, long_chunks: int = 20) -> tuple[float, float, i
             long_chunks * SECONDS_PER_CLIP / dt_long, n_tokens)
 
 
-def bench_train(b: int = 4, iters: int = 5) -> dict:
+def bench_train(b: int = 4, iters: int = 5, remat: bool = False) -> dict:
     """Training-step throughput (opt-in via --train): joint CTC+CE step on
     the reference-parity AVNet (frozen whisper-small encoder + frozen MoCo
     ResNet-50 + trainable fusion; reference: train.py:143-170) with AdamW,
@@ -223,7 +223,7 @@ def bench_train(b: int = 4, iters: int = 5) -> dict:
     from mocov2_whisper_flamingo_tpu.training.task import AVSRTask
 
     net = AVNet("audiovisual", None, 96, (512, 8, 6, 3000, 2048, 0.1), 51865,
-                precision=L.BF16)
+                precision=L.BF16, remat=remat)
     params = net.init(jax.random.PRNGKey(0))
     task = AVSRTask(net)
     optimizer = optax.adamw(1e-4, b1=0.9, b2=0.98, eps=1e-6, weight_decay=0.01)
@@ -275,12 +275,15 @@ def main() -> None:
                         help="bench the training step instead of decode")
     parser.add_argument("--train-batch", type=int, default=4,
                         help="batch size for --train (MFU scales with B)")
+    parser.add_argument("--train-remat", action="store_true",
+                        help="rematerialize the fusion blocks in --train "
+                             "(the Trainer's config default)")
     parser.add_argument("--b16-quant", default=None, choices=(None, "int8"),
                         help="KV-cache quantization for the B=16 serving leg")
     args = parser.parse_args()
 
     if args.train:
-        r = bench_train(b=args.train_batch)
+        r = bench_train(b=args.train_batch, remat=args.train_remat)
         print(json.dumps({
             "metric": f"AVNet joint CTC+CE train step "
                       f"(B={args.train_batch}, fwd+bwd+AdamW)",

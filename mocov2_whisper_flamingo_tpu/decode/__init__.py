@@ -11,3 +11,5 @@ from mocov2_whisper_flamingo_tpu.decode.greedy import greedy_decode  # noqa: F40
 from mocov2_whisper_flamingo_tpu.decode.beam import beam_search  # noqa: F401
 from mocov2_whisper_flamingo_tpu.decode.logit_rules import LogitRules  # noqa: F401
 from mocov2_whisper_flamingo_tpu.decode.streaming import StreamingDecoder  # noqa: F401
+from mocov2_whisper_flamingo_tpu.decode.sampling import (  # noqa: F401
+    compression_ratio, decode_with_fallback, needs_fallback, sample_decode)

@@ -386,6 +386,12 @@ def transcribe_long_form(
     context_tokens: int = 0,
     sot_prev_id: int | None = None,
     logit_rules=None,
+    temperatures=None,
+    best_of: int = 5,
+    logprob_threshold: float | None = -1.0,
+    compression_ratio_threshold: float | None = 2.4,
+    text_fn=None,
+    key=None,
 ) -> list[int]:
     """End-to-end long-form ASR: waveform of arbitrary length -> 30 s chunks
     -> log-mel -> encoder -> streaming decode with a persistent KV cache
@@ -396,6 +402,15 @@ def transcribe_long_form(
 
     Per chunk: one compiled encoder dispatch + one compiled decode dispatch
     (the whole token loop runs on-device under ``lax.scan``).
+
+    ``temperatures`` switches to QUALITY mode — openai ``transcribe``'s
+    window loop: each 30 s chunk is decoded independently (context prompt =
+    ``sot_prev_id`` + the last ``context_tokens`` committed tokens) through
+    ``decode.sampling.decode_with_fallback``, escalating temperature when
+    the compression-ratio / avg-logprob gates fail. This path syncs per
+    chunk by design (the gates inspect the output) and recompiles per
+    distinct (context length, temperature) pair — it trades the streaming
+    path's throughput for real-weight robustness semantics.
     """
     from mocov2_whisper_flamingo_tpu.ops.mel import whisper_log_mel
 
@@ -406,6 +421,42 @@ def transcribe_long_form(
     n_chunks = max(-(-audio.shape[-1] // chunk_samples), 1)
 
     encode = jax.jit(encoder.apply)
+
+    def chunk_features(i):
+        chunk = audio[..., i * chunk_samples : (i + 1) * chunk_samples]
+        pad = chunk_samples - chunk.shape[-1]
+        if pad > 0:  # keep mel/encoder shapes static across chunks
+            chunk = jnp.pad(chunk, [(0, 0)] * (chunk.ndim - 1) + [(0, pad)])
+        return encode(encoder_params, mel_fn(chunk)[None])
+
+    if temperatures is not None:
+        from mocov2_whisper_flamingo_tpu.decode.sampling import (
+            decode_with_fallback)
+
+        key = key if key is not None else jax.random.PRNGKey(0)
+        prefix = [int(t) for t in prefix_ids]
+        committed: list[int] = []
+        for i in range(n_chunks):
+            ctx = [t for t in committed if t != eos_id][-context_tokens:] \
+                if context_tokens > 0 else []
+            if ctx and sot_prev_id is not None:
+                ctx = [sot_prev_id] + ctx
+            window_prefix = ctx + prefix
+            r = decode_with_fallback(
+                decoder, decoder_params, chunk_features(i), window_prefix,
+                key=jax.random.fold_in(key, i), temperatures=temperatures,
+                beam_size=beam_size, best_of=best_of, max_len=max_len,
+                eos_id=eos_id, logit_rules=logit_rules,
+                length_penalty=length_penalty,
+                logprob_threshold=logprob_threshold,
+                compression_ratio_threshold=compression_ratio_threshold,
+                text_fn=text_fn)
+            row = [int(t) for t in r.sequences[0][len(window_prefix):]]
+            while row and row[-1] == eos_id:
+                row.pop()
+            committed.extend(row)
+        return committed
+
     stream = StreamingDecoder(
         decoder, decoder_params, prefix_ids, max_len=max_len, eos_id=eos_id,
         max_tokens_per_chunk=max_tokens_per_chunk, beam_size=beam_size,
@@ -414,10 +465,5 @@ def transcribe_long_form(
         logit_rules=logit_rules)
     out: list[int] = []
     for i in range(n_chunks):
-        chunk = audio[..., i * chunk_samples : (i + 1) * chunk_samples]
-        pad = chunk_samples - chunk.shape[-1]
-        if pad > 0:  # keep mel/encoder shapes static across chunks
-            chunk = jnp.pad(chunk, [(0, 0)] * (chunk.ndim - 1) + [(0, pad)])
-        features = encode(encoder_params, mel_fn(chunk)[None])
-        out.extend(stream.process_chunk(features))
+        out.extend(stream.process_chunk(chunk_features(i)))
     return out

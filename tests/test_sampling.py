@@ -1,0 +1,206 @@
+"""Temperature sampling + quality-gated fallback (decode/sampling.py):
+t=0 equals greedy, determinism under a fixed key, openai-convention
+logprob scoring vs a step-by-step oracle, compression-ratio/logprob gates,
+and the per-example freeze semantics of decode_with_fallback."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from mocov2_whisper_flamingo_tpu.decode import (
+    beam_search, compression_ratio, decode_with_fallback, greedy_decode,
+    needs_fallback, sample_decode)
+from mocov2_whisper_flamingo_tpu.models.whisper import (
+    WhisperConfig, WhisperDecoder)
+
+CFG = WhisperConfig(
+    n_mels=80, d_model=48, encoder_layers=1, decoder_layers=2, n_heads=4,
+    d_ff=96, vocab_size=50, max_source_positions=16, max_target_positions=32,
+)
+EOS = 3
+PREFIX = [1, 2]
+MAX_LEN = 12
+
+
+@pytest.fixture(scope="module")
+def setup():
+    dec = WhisperDecoder(CFG)
+    params = dec.init(jax.random.PRNGKey(0))
+    rng = np.random.default_rng(0)
+    enc_out = jnp.asarray(rng.standard_normal((2, 16, 48)).astype(np.float32))
+    return dec, params, enc_out
+
+
+def test_sample_t0_matches_greedy(setup):
+    dec, params, enc_out = setup
+    greedy = np.asarray(greedy_decode(dec, params, enc_out, PREFIX, MAX_LEN, EOS))
+    r = sample_decode(dec, params, enc_out, PREFIX, key=jax.random.PRNGKey(7),
+                      temperature=0.0, num_samples=1, max_len=MAX_LEN, eos_id=EOS)
+    np.testing.assert_array_equal(np.asarray(r.sequences)[:, 0], greedy)
+
+
+def test_sample_deterministic_under_key(setup):
+    # The toy random-init decoder's logits are very peaked (std ~10), so
+    # variability assertions need a temperature on that scale.
+    dec, params, enc_out = setup
+    kw = dict(temperature=8.0, num_samples=3, max_len=MAX_LEN, eos_id=EOS)
+    a = sample_decode(dec, params, enc_out, PREFIX, key=jax.random.PRNGKey(5), **kw)
+    b = sample_decode(dec, params, enc_out, PREFIX, key=jax.random.PRNGKey(5), **kw)
+    np.testing.assert_array_equal(np.asarray(a.sequences), np.asarray(b.sequences))
+    np.testing.assert_allclose(np.asarray(a.sum_logprob), np.asarray(b.sum_logprob))
+    c = sample_decode(dec, params, enc_out, PREFIX, key=jax.random.PRNGKey(6), **kw)
+    assert not np.array_equal(np.asarray(a.sequences), np.asarray(c.sequences))
+
+
+def test_sample_rows_vary_at_high_temperature(setup):
+    dec, params, enc_out = setup
+    r = sample_decode(dec, params, enc_out, PREFIX, key=jax.random.PRNGKey(2),
+                      temperature=8.0, num_samples=4, max_len=MAX_LEN, eos_id=EOS)
+    seqs = np.asarray(r.sequences)[0]  # [N, L]
+    assert len({tuple(row) for row in seqs}) > 1
+
+
+def _oracle_score(dec, params, enc_row, tokens_row):
+    """Step-by-step openai-convention scoring: sum the log-softmax logprob
+    of each generated token up to and including the EOS emission."""
+    cache = dec.init_cache(params, enc_row[None], max_len=MAX_LEN)
+    total, n_scored = 0.0, 0
+    for i in range(MAX_LEN - 1):
+        logits, cache = dec.decode_step(
+            params, jnp.asarray([[int(tokens_row[i])]]), cache, jnp.int32(i))
+        if i + 1 < len(PREFIX):
+            continue
+        logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+        tok = int(tokens_row[i + 1])
+        total += float(logp[0, tok])
+        n_scored += 1
+        if tok == EOS:
+            break
+    return total, n_scored
+
+
+def test_logprob_scoring_matches_oracle(setup):
+    dec, params, enc_out = setup
+    r = sample_decode(dec, params, enc_out, PREFIX, key=jax.random.PRNGKey(3),
+                      temperature=0.0, num_samples=1, max_len=MAX_LEN, eos_id=EOS)
+    for e in range(enc_out.shape[0]):
+        row = np.asarray(r.sequences)[e, 0]
+        total, n_scored = _oracle_score(dec, params, enc_out[e], row)
+        np.testing.assert_allclose(float(r.sum_logprob[e, 0]), total, rtol=2e-4)
+        np.testing.assert_allclose(
+            float(r.avg_logprob[e, 0]), total / n_scored, rtol=2e-4)
+
+
+def test_sample_decode_jits(setup):
+    dec, params, enc_out = setup
+    f = jax.jit(lambda p, e, k: sample_decode(
+        dec, p, e, PREFIX, key=k, temperature=1.0, num_samples=2,
+        max_len=MAX_LEN, eos_id=EOS).sequences)
+    out = np.asarray(f(params, enc_out, jax.random.PRNGKey(9)))
+    ref = np.asarray(sample_decode(
+        dec, params, enc_out, PREFIX, key=jax.random.PRNGKey(9),
+        temperature=1.0, num_samples=2, max_len=MAX_LEN, eos_id=EOS).sequences)
+    np.testing.assert_array_equal(out, ref)
+
+
+def test_compression_ratio_flags_repetition():
+    looped = "the same words " * 50
+    normal = "a perfectly ordinary sentence with varied content and words"
+    assert compression_ratio(looped) > 2.4
+    assert compression_ratio(normal) < 2.4
+    assert compression_ratio("") == 0.0
+    import zlib
+    data = looped.encode("utf-8")
+    assert compression_ratio(looped) == len(data) / len(zlib.compress(data))
+
+
+def test_needs_fallback_gates():
+    ok_text = "varied ordinary content here"
+    assert needs_fallback(-2.0, ok_text)            # low confidence
+    assert needs_fallback(-0.1, "loop " * 100)      # repetitive
+    assert not needs_fallback(-0.1, ok_text)
+    # disabled gates never fire
+    assert not needs_fallback(-99.0, "loop " * 100, None, None)
+
+
+def test_fallback_passes_at_t0_when_gates_disabled(setup):
+    dec, params, enc_out = setup
+    r = decode_with_fallback(
+        dec, params, enc_out, PREFIX, key=jax.random.PRNGKey(0),
+        beam_size=3, best_of=3, max_len=MAX_LEN, eos_id=EOS,
+        logprob_threshold=None, compression_ratio_threshold=None)
+    assert r.gates_passed.all()
+    assert (r.temperature == 0.0).all()
+    ref = beam_search(dec, params, enc_out, PREFIX, beam_size=3,
+                      max_len=MAX_LEN, eos_id=EOS)
+    np.testing.assert_array_equal(r.sequences, np.asarray(ref.sequences)[:, 0])
+
+
+def test_fallback_escalates_when_gates_never_pass(setup):
+    dec, params, enc_out = setup
+    temps = (0.0, 0.5, 1.0)
+    r = decode_with_fallback(
+        dec, params, enc_out, PREFIX, key=jax.random.PRNGKey(0),
+        temperatures=temps, beam_size=2, best_of=2, max_len=MAX_LEN,
+        eos_id=EOS, logprob_threshold=10.0)  # logprobs are <= 0: never passes
+    assert not r.gates_passed.any()
+    assert (r.temperature == temps[-1]).all()  # kept the last rung's attempt
+    assert np.isfinite(r.avg_logprob).all()
+
+
+def test_transcribe_long_form_quality_mode(setup):
+    """temperatures= switches transcribe_long_form to the openai-style
+    window loop (independent windows + context prompt + fallback gates)."""
+    from mocov2_whisper_flamingo_tpu.decode.streaming import transcribe_long_form
+    from mocov2_whisper_flamingo_tpu.models.whisper import WhisperEncoder
+
+    dec, params, _ = setup
+    enc = WhisperEncoder(CFG)
+    enc_params = enc.init(jax.random.PRNGKey(1))
+    rng = np.random.default_rng(4)
+
+    sr = 16000
+    chunk_seconds = CFG.max_source_positions * 2 * 160 / sr
+    audio = rng.standard_normal(
+        int(2.2 * CFG.max_source_positions * 2 * 160)).astype(np.float32)
+
+    def mel_fn(wav):
+        t = CFG.max_source_positions * 2
+        m = jnp.zeros((80, t))
+        n = min(wav.shape[-1] // 160, t)
+        return m.at[:, :n].set(jnp.resize(
+            wav[: n * 80].reshape(-1)[: 80 * n].reshape(80, n), (80, n)))
+
+    kw = dict(eos_id=EOS, chunk_seconds=chunk_seconds, max_len=16,
+              mel_fn=mel_fn, beam_size=2, best_of=2,
+              context_tokens=3, sot_prev_id=9)
+    # gates disabled: every window commits its t=0 beam result
+    toks = transcribe_long_form(
+        enc, dec, enc_params, params, audio, PREFIX,
+        temperatures=(0.0, 0.7), logprob_threshold=None,
+        compression_ratio_threshold=None, **kw)
+    assert len(toks) > 0 and all(t != EOS for t in toks)
+    # an impossible logprob gate escalates every window to the last rung
+    # and still commits a transcript (deterministic under the key)
+    t1 = transcribe_long_form(
+        enc, dec, enc_params, params, audio, PREFIX,
+        temperatures=(0.0, 8.0), logprob_threshold=10.0,
+        key=jax.random.PRNGKey(11), **kw)
+    t2 = transcribe_long_form(
+        enc, dec, enc_params, params, audio, PREFIX,
+        temperatures=(0.0, 8.0), logprob_threshold=10.0,
+        key=jax.random.PRNGKey(11), **kw)
+    assert t1 == t2
+    assert all(t != EOS for t in t1)
+
+
+def test_fallback_beam_avg_matches_oracle(setup):
+    dec, params, enc_out = setup
+    r = decode_with_fallback(
+        dec, params, enc_out, PREFIX, key=jax.random.PRNGKey(0),
+        beam_size=3, best_of=2, max_len=MAX_LEN, eos_id=EOS,
+        logprob_threshold=None, compression_ratio_threshold=None)
+    for e in range(enc_out.shape[0]):
+        total, n_scored = _oracle_score(dec, params, enc_out[e], r.sequences[e])
+        np.testing.assert_allclose(r.avg_logprob[e], total / n_scored, rtol=2e-4)
