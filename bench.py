@@ -278,7 +278,8 @@ def main() -> None:
     parser.add_argument("--train-remat", action="store_true",
                         help="rematerialize the fusion blocks in --train "
                              "(the Trainer's config default)")
-    parser.add_argument("--b16-quant", default=None, choices=(None, "int8"),
+    parser.add_argument("--b16-quant", default=None,
+                        choices=(None, "int8", "int8-cross"),
                         help="KV-cache quantization for the B=16 serving leg")
     args = parser.parse_args()
 

@@ -12,4 +12,7 @@ from mocov2_whisper_flamingo_tpu.decode.beam import beam_search  # noqa: F401
 from mocov2_whisper_flamingo_tpu.decode.logit_rules import LogitRules  # noqa: F401
 from mocov2_whisper_flamingo_tpu.decode.streaming import StreamingDecoder  # noqa: F401
 from mocov2_whisper_flamingo_tpu.decode.sampling import (  # noqa: F401
-    compression_ratio, decode_with_fallback, needs_fallback, sample_decode)
+    compression_ratio, decode_with_fallback, needs_fallback,
+    no_speech_probability, sample_decode)
+from mocov2_whisper_flamingo_tpu.decode.timestamps import (  # noqa: F401
+    WordTiming, token_timestamps, word_timestamps)

@@ -138,6 +138,39 @@ def sample_decode(
     )
 
 
+def no_speech_probability(
+    decoder,
+    params: dict,
+    encoder_out: jnp.ndarray,
+    prefix_ids,
+    no_speech_id: int,
+    sot_index: int = 0,
+    encoder_valid: jnp.ndarray | None = None,
+) -> jnp.ndarray:
+    """Probability of ``<|nospeech|>`` at the SOT position — openai
+    ``DecodingTask._main_loop`` reads ``probs_at_sot[:, no_speech_token]``
+    from the initial forward pass; ``transcribe`` then skips windows where
+    it exceeds ``no_speech_threshold`` (unless avg_logprob is confident).
+
+    One compiled prefix-length scan per (prefix length) shape — the probe
+    teacher-forces ``prefix_ids[: sot_index + 1]`` and softmaxes the logits
+    produced by feeding the SOT token. Returns [B] float probabilities."""
+    b = encoder_out.shape[0]
+    prefix = jnp.asarray(prefix_ids, dtype=jnp.int32)
+    n = int(sot_index) + 1
+    cache = decoder.init_cache(params, encoder_out, max_len=n + 1)
+
+    def step(cache, i):
+        cur = jnp.broadcast_to(prefix[i], (b, 1)).astype(jnp.int32)
+        logits, cache = decoder.decode_step(params, cur, cache, i,
+                                            encoder_valid=encoder_valid)
+        return cache, logits
+
+    _, all_logits = jax.lax.scan(step, cache, jnp.arange(n))
+    probs = jax.nn.softmax(all_logits[-1].astype(jnp.float32), axis=-1)
+    return probs[:, no_speech_id]
+
+
 # -- quality gates (openai whisper/transcribe.py semantics) -------------------
 
 
@@ -173,6 +206,7 @@ class FallbackResult:
     avg_logprob: np.ndarray    # [B]
     temperature: np.ndarray    # [B] temperature that produced each row
     gates_passed: np.ndarray   # [B] bool — False = last rung still failing
+    no_speech_prob: np.ndarray | None = None  # [B] when probed (see below)
 
 
 def _beam_avg_logprob(sequences: np.ndarray, scores: np.ndarray,
@@ -208,6 +242,8 @@ def decode_with_fallback(
     logprob_threshold: float | None = -1.0,
     compression_ratio_threshold: float | None = 2.4,
     text_fn=None,
+    no_speech_id: int | None = None,
+    sot_index: int | None = None,
 ) -> FallbackResult:
     """openai ``decode_with_fallback``: beam search at t=0, then sampled
     retries at escalating temperature until the quality gates pass.
@@ -218,6 +254,11 @@ def decode_with_fallback(
     failing examples. ``text_fn(token_list) -> str`` detokenizes for the
     compression gate; without one the gate runs on the raw token-id bytes
     (a loop in id space compresses just as well — documented approximation).
+
+    ``no_speech_id`` additionally probes ``no_speech_probability`` at
+    ``sot_index`` (default: first occurrence of nothing — the prefix start)
+    and returns it on the result; the fallback ladder itself ignores it
+    (openai's skip decision lives in the ``transcribe`` window loop).
     """
     n_prefix = len(list(prefix_ids))
     b = encoder_out.shape[0]
@@ -225,6 +266,13 @@ def decode_with_fallback(
     best_avg = np.full((b,), -np.inf, np.float64)
     best_temp = np.zeros((b,), np.float64)
     frozen = np.zeros((b,), bool)
+
+    ns_prob = None
+    if no_speech_id is not None:
+        ns_prob = np.asarray(no_speech_probability(
+            decoder, params, encoder_out, prefix_ids, no_speech_id,
+            sot_index=0 if sot_index is None else sot_index,
+            encoder_valid=encoder_valid))
 
     def to_text(row: np.ndarray) -> str | bytes:
         ids = [int(x) for x in row[n_prefix:]]
@@ -267,4 +315,5 @@ def decode_with_fallback(
             break
 
     return FallbackResult(sequences=best_seq, avg_logprob=best_avg,
-                          temperature=best_temp, gates_passed=frozen.copy())
+                          temperature=best_temp, gates_passed=frozen.copy(),
+                          no_speech_prob=ns_prob)

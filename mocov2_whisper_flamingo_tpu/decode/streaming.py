@@ -390,6 +390,9 @@ def transcribe_long_form(
     best_of: int = 5,
     logprob_threshold: float | None = -1.0,
     compression_ratio_threshold: float | None = 2.4,
+    no_speech_threshold: float | None = None,
+    no_speech_id: int | None = None,
+    sot_id: int | None = None,
     text_fn=None,
     key=None,
 ) -> list[int]:
@@ -407,10 +410,12 @@ def transcribe_long_form(
     window loop: each 30 s chunk is decoded independently (context prompt =
     ``sot_prev_id`` + the last ``context_tokens`` committed tokens) through
     ``decode.sampling.decode_with_fallback``, escalating temperature when
-    the compression-ratio / avg-logprob gates fail. This path syncs per
-    chunk by design (the gates inspect the output) and recompiles per
-    distinct (context length, temperature) pair — it trades the streaming
-    path's throughput for real-weight robustness semantics.
+    the compression-ratio / avg-logprob gates fail, and (with
+    ``no_speech_threshold`` + ``no_speech_id``) skipping windows whose
+    ``<|nospeech|>`` probability at the SOT position marks them as silence.
+    This path syncs per chunk by design (the gates inspect the output) and
+    recompiles per distinct (context length, temperature) pair — it trades
+    the streaming path's throughput for real-weight robustness semantics.
     """
     from mocov2_whisper_flamingo_tpu.ops.mel import whisper_log_mel
 
@@ -436,12 +441,18 @@ def transcribe_long_form(
         key = key if key is not None else jax.random.PRNGKey(0)
         prefix = [int(t) for t in prefix_ids]
         committed: list[int] = []
+        probe_ns = no_speech_threshold is not None and no_speech_id is not None
         for i in range(n_chunks):
             ctx = [t for t in committed if t != eos_id][-context_tokens:] \
                 if context_tokens > 0 else []
             if ctx and sot_prev_id is not None:
                 ctx = [sot_prev_id] + ctx
             window_prefix = ctx + prefix
+            # SOT position within this window's prefix (for the no-speech
+            # probe): the given sot_id, else the start of ``prefix_ids``.
+            sot_index = (window_prefix.index(sot_id)
+                         if sot_id is not None and sot_id in window_prefix
+                         else len(ctx))
             r = decode_with_fallback(
                 decoder, decoder_params, chunk_features(i), window_prefix,
                 key=jax.random.fold_in(key, i), temperatures=temperatures,
@@ -450,7 +461,18 @@ def transcribe_long_form(
                 length_penalty=length_penalty,
                 logprob_threshold=logprob_threshold,
                 compression_ratio_threshold=compression_ratio_threshold,
-                text_fn=text_fn)
+                text_fn=text_fn,
+                no_speech_id=no_speech_id if probe_ns else None,
+                sot_index=sot_index)
+            if probe_ns:
+                # openai transcribe: skip the window as silence, unless the
+                # decode is nonetheless confident (avg_logprob above gate).
+                should_skip = float(r.no_speech_prob[0]) > no_speech_threshold
+                if (logprob_threshold is not None
+                        and float(r.avg_logprob[0]) > logprob_threshold):
+                    should_skip = False
+                if should_skip:
+                    continue
             row = [int(t) for t in r.sequences[0][len(window_prefix):]]
             while row and row[-1] == eos_id:
                 row.pop()

@@ -1,0 +1,218 @@
+"""Word-level timestamps via cross-attention DTW alignment.
+
+The reference has no notion of timestamps (it argmaxes a linear head,
+reference: train.py:130-141), but its backbone is HF Whisper (reference:
+models/av_net.py:22), and every production Whisper stack offers
+word timestamps — openai ``transcribe(word_timestamps=True)`` /
+HF ``generate(return_token_timestamps=True)`` — by dynamic-time-warping the
+decoder's cross-attention against the audio frames (openai
+whisper/timing.py ``find_alignment``). Implemented here with the same
+pipeline:
+
+1. one teacher-forced decoder forward over the FINAL token sequence that
+   also returns the per-layer cross-attention probabilities
+   (``WhisperDecoder.apply(..., return_cross_weights=True)`` — a single
+   compiled dispatch; the [L, B, H, Ttok, Tenc] stack is the only output
+   that leaves the device);
+2. select alignment heads (a model-specific ``(layer, head)`` list when
+   known, else openai's fallback: all heads of the top half of layers);
+3. per head: z-normalize over the time axis, median-filter along time
+   (width 7), average heads -> one [Ttok, Tenc] alignment matrix;
+4. monotonic DTW over ``-matrix`` (moves: down, right, diagonal) on the
+   host — the matrix is tiny (<=448 x 1500) and the DP is inherently
+   sequential, so numpy is the right tool, not the MXU;
+5. token times = 0.02 s per encoder frame at the path's jumps; words are
+   formed by a caller-supplied grouping (tokenizer-aware) and take
+   start/end from their first/last token.
+
+TPU note: steps 1 is the only device work and keeps all heavy math in one
+jit; steps 2-3 are cheap vector ops done in numpy on the host alongside
+the DP (moving them on-device would save nothing and cost a dispatch).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax.numpy as jnp
+import numpy as np
+
+# Whisper's encoder emits one frame per 20 ms (2x conv stride over 10 ms
+# hops); openai TOKENS_PER_SECOND = 50.
+SECONDS_PER_FRAME = 0.02
+
+
+@dataclasses.dataclass
+class WordTiming:
+    word: str
+    start: float
+    end: float
+    tokens: list[int]
+
+
+def median_filter(x: np.ndarray, width: int = 7) -> np.ndarray:
+    """Median filter along the last axis with edge padding (openai
+    timing.py ``median_filter`` semantics; width must be odd)."""
+    if width <= 1:
+        return x
+    if width % 2 == 0:
+        raise ValueError("median_filter width must be odd")
+    half = width // 2
+    padded = np.concatenate(
+        [x[..., :1].repeat(half, axis=-1), x,
+         x[..., -1:].repeat(half, axis=-1)], axis=-1)
+    windows = np.lib.stride_tricks.sliding_window_view(padded, width, axis=-1)
+    return np.median(windows, axis=-1)
+
+
+def dtw(cost: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Monotonic DTW over a [N, M] cost matrix; returns the aligned
+    (text_indices, time_indices) path, forward order (openai timing.py
+    ``dtw_cpu``: moves are (i-1,j), (i,j-1), (i-1,j-1); backtrace prefers
+    the diagonal; the path starts at (0,0) and ends at (N-1, M-1))."""
+    n, m = cost.shape
+    acc = np.full((n + 1, m + 1), np.inf, dtype=np.float64)
+    trace = np.zeros((n + 1, m + 1), dtype=np.int8)
+    acc[0, 0] = 0.0
+    for i in range(1, n + 1):
+        row_prev = acc[i - 1]
+        row = acc[i]
+        c = cost[i - 1]
+        for j in range(1, m + 1):
+            c0 = row_prev[j - 1]   # diagonal
+            c1 = row_prev[j]       # up (advance text)
+            c2 = row[j - 1]        # left (advance time)
+            best = c0
+            t = 0
+            if c1 < best:
+                best, t = c1, 1
+            if c2 < best:
+                best, t = c2, 2
+            row[j] = c[j - 1] + best
+            trace[i, j] = t
+    i, j = n, m
+    text_idx, time_idx = [], []
+    while i > 0 or j > 0:
+        text_idx.append(i - 1)
+        time_idx.append(j - 1)
+        t = trace[i, j]
+        if i > 0 and j > 0 and t == 0:
+            i, j = i - 1, j - 1
+        elif i > 0 and (j == 0 or t == 1):
+            i -= 1
+        else:
+            j -= 1
+    return np.array(text_idx[::-1]), np.array(time_idx[::-1])
+
+
+def default_alignment_heads(n_layers: int, n_heads: int) -> list[tuple[int, int]]:
+    """openai fallback when no model-specific head list is known: every
+    head of the top half of the decoder layers (timing.py
+    ``find_alignment``'s default via ``model.alignment_heads``)."""
+    return [(l, h) for l in range(n_layers // 2, n_layers)
+            for h in range(n_heads)]
+
+
+def alignment_matrix(
+    cross_weights: np.ndarray,
+    alignment_heads: list[tuple[int, int]] | None = None,
+    medfilt_width: int = 7,
+    example: int = 0,
+) -> np.ndarray:
+    """[L, B, H, Ttok, Tenc] cross-attention stack -> [Ttok, Tenc]
+    alignment matrix: pick heads, z-normalize each head over the time
+    axis, median-filter along time, average heads (openai timing.py)."""
+    w = np.asarray(cross_weights, dtype=np.float64)
+    n_layers, _, n_heads = w.shape[:3]
+    heads = alignment_heads or default_alignment_heads(n_layers, n_heads)
+    sel = np.stack([w[l, example, h] for l, h in heads])  # [A, Ttok, Tenc]
+    std = sel.std(axis=-1, keepdims=True)
+    sel = (sel - sel.mean(axis=-1, keepdims=True)) / np.maximum(std, 1e-10)
+    sel = median_filter(sel, medfilt_width)
+    return sel.mean(axis=0)
+
+
+def token_timestamps(
+    decoder,
+    params: dict,
+    tokens,
+    encoder_out: jnp.ndarray,
+    n_frames: int | None = None,
+    alignment_heads: list[tuple[int, int]] | None = None,
+    medfilt_width: int = 7,
+    encoder_valid: jnp.ndarray | None = None,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Per-token (start, end) times in seconds for ONE example.
+
+    ``tokens``: the full decoded sequence (prefix + text + EOS) as a flat
+    int list/array; ``encoder_out``: [1, Tenc, D]. ``n_frames`` restricts
+    the alignment to the leading frames that carry real audio (openai masks
+    frames past the segment before the DTW). Returns (starts, ends), each
+    [len(tokens)] — prefix/EOS rows get the times the DTW assigns them;
+    callers slice out the text range."""
+    toks = jnp.asarray(tokens, dtype=jnp.int32)[None, :]
+    _, w = decoder.apply(params, toks, encoder_out,
+                         encoder_valid=encoder_valid,
+                         return_cross_weights=True)
+    matrix = alignment_matrix(np.asarray(w), alignment_heads, medfilt_width)
+    if n_frames is not None:
+        matrix = matrix[:, :n_frames]
+    # Each row must attend somewhere: DTW over the negated alignment score.
+    text_idx, time_idx = dtw(-matrix)
+    n_tok = matrix.shape[0]
+    # jump j: first time index where the path reaches token j
+    jumps = np.zeros(n_tok, dtype=np.int64)
+    seen = np.zeros(n_tok, dtype=bool)
+    for ti, fi in zip(text_idx, time_idx):
+        if not seen[ti]:
+            jumps[ti] = fi
+            seen[ti] = True
+    starts = jumps * SECONDS_PER_FRAME
+    ends = np.empty_like(starts, dtype=np.float64)
+    ends[:-1] = starts[1:]
+    last_frame = time_idx[-1] + 1 if len(time_idx) else jumps[-1] + 1
+    ends[-1] = last_frame * SECONDS_PER_FRAME
+    return starts.astype(np.float64), ends
+
+
+def word_timestamps(
+    decoder,
+    params: dict,
+    tokens,
+    encoder_out: jnp.ndarray,
+    group_fn,
+    n_prefix: int = 0,
+    n_text: int | None = None,
+    n_frames: int | None = None,
+    alignment_heads: list[tuple[int, int]] | None = None,
+    medfilt_width: int = 7,
+    encoder_valid: jnp.ndarray | None = None,
+) -> list[WordTiming]:
+    """Word-level timings: align all tokens, then group the TEXT tokens
+    (``tokens[n_prefix : n_prefix + n_text]``; ``n_text=None`` takes the
+    whole tail — exclude a trailing EOS by bounding it) into words.
+
+    ``group_fn(text_token_ids) -> list[(word_str, token_count)]`` is the
+    tokenizer-aware split (e.g. whitespace/punctuation merging on the
+    decoded text); each word takes start from its first token and end from
+    its last. A simple default for space-delimited scripts: split decoded
+    pieces on leading spaces."""
+    tokens = [int(t) for t in tokens]
+    starts, ends = token_timestamps(
+        decoder, params, tokens, encoder_out, n_frames=n_frames,
+        alignment_heads=alignment_heads, medfilt_width=medfilt_width,
+        encoder_valid=encoder_valid)
+    text = tokens[n_prefix:] if n_text is None \
+        else tokens[n_prefix:n_prefix + n_text]
+    out: list[WordTiming] = []
+    pos = n_prefix
+    for word, count in group_fn(text):
+        if count <= 0:
+            continue
+        span = tokens[pos:pos + count]
+        out.append(WordTiming(
+            word=word, start=float(starts[pos]),
+            end=float(ends[min(pos + count - 1, len(tokens) - 1)]),
+            tokens=span))
+        pos += count
+    return out

@@ -93,3 +93,120 @@ class WhisperASR:
                                       max_len=max_len, eos_id=eos_id,
                                       logit_rules=logit_rules)
         return res.sequences[:, 0]
+
+    def _cast_decoder_params(self, params: dict) -> dict:
+        prec = self.precision
+        return jax.tree.map(
+            lambda x: prec.cast(x) if jnp.issubdtype(x.dtype, jnp.floating) else x,
+            params["decoder"])
+
+    def transcribe(
+        self,
+        params: dict,
+        audio: jnp.ndarray,
+        prefix_ids: Sequence[int],
+        tokenizer=None,
+        beam_size: int = 5,
+        max_len: int = 448,
+        eos_id: int = 50257,
+        chunk_seconds: float = 30.0,
+        sample_rate: int = 16_000,
+        max_tokens_per_chunk: int = 64,
+        temperatures: Sequence[float] | None = (0.0, 0.2, 0.4, 0.6, 0.8, 1.0),
+        best_of: int = 5,
+        length_penalty: float = 1.0,
+        logprob_threshold: float | None = -1.0,
+        compression_ratio_threshold: float | None = 2.4,
+        no_speech_threshold: float | None = None,
+        no_speech_id: int | None = None,
+        sot_id: int | None = None,
+        condition_on_previous_text: bool = True,
+        context_tokens: int = 128,
+        sot_prev_id: int | None = None,
+        logit_rules=None,
+        word_times: bool = False,
+        group_fn=None,
+        key: jax.Array | None = None,
+    ) -> dict:
+        """Long-form transcription of arbitrary-length audio — the
+        user-facing equivalent of openai ``whisper.transcribe`` / HF
+        ``pipeline("automatic-speech-recognition")``.
+
+        ``temperatures`` given (default): openai's robust window loop —
+        per 30 s window ``decode.sampling.decode_with_fallback`` with the
+        compression-ratio / avg-logprob gates, optional no-speech skip
+        (``no_speech_threshold`` + ``no_speech_id``), and
+        ``condition_on_previous_text`` context prompts. ``None``: the
+        fully-compiled streaming path (decode/streaming.py — persistent
+        cache, one dispatch per chunk, maximum throughput).
+
+        Returns ``{"tokens": [...], "text": str|None, "words": [...]|None}``;
+        ``text`` when a ``tokenizer`` (``.decode(ids) -> str``) is given,
+        ``words`` (``decode.timestamps.WordTiming``) when ``word_times``
+        with a ``group_fn`` — word times are per-window DTW alignments
+        offset by each window's start (openai semantics).
+        """
+        from mocov2_whisper_flamingo_tpu.decode.streaming import (
+            transcribe_long_form)
+
+        dec_params = self._cast_decoder_params(params)
+        text_fn = (lambda ids: tokenizer.decode(ids)) if tokenizer else None
+        tokens = transcribe_long_form(
+            self.encoder, self.decoder, params["encoder"], dec_params,
+            audio, prefix_ids, eos_id=eos_id, chunk_seconds=chunk_seconds,
+            sample_rate=sample_rate, max_len=max_len,
+            max_tokens_per_chunk=max_tokens_per_chunk, beam_size=beam_size,
+            length_penalty=length_penalty, logit_rules=logit_rules,
+            context_tokens=context_tokens if condition_on_previous_text else 0,
+            sot_prev_id=sot_prev_id, temperatures=temperatures,
+            best_of=best_of, logprob_threshold=logprob_threshold,
+            compression_ratio_threshold=compression_ratio_threshold,
+            no_speech_threshold=no_speech_threshold,
+            no_speech_id=no_speech_id, sot_id=sot_id, text_fn=text_fn,
+            key=key)
+        out = {"tokens": tokens,
+               "text": text_fn(tokens) if text_fn else None, "words": None}
+        if word_times:
+            if group_fn is None:
+                raise ValueError("word_times needs a tokenizer-aware group_fn")
+            out["words"] = self._word_times(
+                params, dec_params, audio, tokens, list(prefix_ids), group_fn,
+                chunk_seconds=chunk_seconds, sample_rate=sample_rate,
+                eos_id=eos_id)
+        return out
+
+    def _word_times(self, params, dec_params, audio, tokens, prefix,
+                    group_fn, chunk_seconds, sample_rate, eos_id):
+        """Per-window DTW word alignment over an already-committed
+        transcript: each window's tokens are re-scored teacher-forced
+        against that window's encoder output (one compiled forward per
+        window) and times are offset by the window start. Token->window
+        attribution is proportional (the committed stream does not retain
+        window boundaries); pass tokens through ``transcribe`` windows for
+        exact per-window grouping."""
+        from mocov2_whisper_flamingo_tpu.decode.timestamps import (
+            word_timestamps)
+
+        audio = jnp.asarray(audio)
+        chunk_samples = int(chunk_seconds * sample_rate)
+        n_chunks = max(-(-audio.shape[-1] // chunk_samples), 1)
+        per = -(-len(tokens) // n_chunks)
+        words = []
+        for i in range(n_chunks):
+            window = tokens[i * per:(i + 1) * per]
+            if not window:
+                continue
+            chunk = audio[..., i * chunk_samples:(i + 1) * chunk_samples]
+            mel = self.features(chunk, pad_to=chunk_samples)
+            enc = self.encode(params, mel)
+            n_frames = min(max(chunk.shape[-1] // 320, 1), enc.shape[1])
+            seq = prefix + window + [eos_id]
+            ws = word_timestamps(self.decoder, dec_params, seq, enc,
+                                 group_fn, n_prefix=len(prefix),
+                                 n_text=len(window), n_frames=n_frames)
+            off = i * chunk_seconds
+            for w in ws:
+                w.start += off
+                w.end += off
+            words.extend(ws)
+        return words

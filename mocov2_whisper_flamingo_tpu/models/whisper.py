@@ -270,6 +270,32 @@ def attention_block(
     return L.linear(params["out"], _merge_heads(out), precision), new_cache
 
 
+def _cross_attention_probs(
+    params: L.Params,
+    x: jnp.ndarray,
+    enc: jnp.ndarray,
+    encoder_valid: jnp.ndarray | None,
+    n_heads: int,
+    prec: L.Precision,
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Cross-attention that materializes its probabilities.
+
+    Returns (output [B, Tq, D], probs [B, H, Tq, Tk] fp32). Same math as
+    ``attention_block``'s cross path (fp32 softmax island), used when the
+    caller needs the weights themselves (DTW token-time alignment)."""
+    dh = x.shape[-1] // n_heads
+    q = _split_heads(L.linear(params["q"], x, prec), n_heads)
+    k = _split_heads(L.linear(params["k"], enc, prec), n_heads)
+    v = _split_heads(L.linear(params["v"], enc, prec), n_heads)
+    s = jnp.einsum("bqhd,bkhd->bhqk", q, k,
+                   preferred_element_type=jnp.float32) * (dh ** -0.5)
+    if encoder_valid is not None:
+        s = jnp.where(encoder_valid[:, None, None, :], s, -1e30)
+    p = jax.nn.softmax(s, axis=-1)  # fp32
+    a = jnp.einsum("bhqk,bkhd->bqhd", p.astype(q.dtype), v)
+    return L.linear(params["out"], _merge_heads(a), prec), p
+
+
 def _mlp_init(key, d_model: int, d_ff: int) -> L.Params:
     k1, k2 = jax.random.split(key)
     return {"fc1": L.linear_init(k1, d_model, d_ff), "fc2": L.linear_init(k2, d_ff, d_model)}
@@ -383,27 +409,43 @@ class WhisperDecoder:
         tokens: jnp.ndarray,
         encoder_out: jnp.ndarray,
         encoder_valid: jnp.ndarray | None = None,
+        return_cross_weights: bool = False,
     ) -> jnp.ndarray:
-        """tokens: [B, T] -> logits [B, T, V] (causal, no cache)."""
+        """tokens: [B, T] -> logits [B, T, V] (causal, no cache).
+
+        ``return_cross_weights``: also return the per-layer cross-attention
+        probabilities stacked as [layers, B, heads, T_tok, T_enc] (fp32) —
+        the alignment signal for DTW word timestamps
+        (decode/timestamps.py). The main output is unchanged (the explicit
+        cross path is numerics-identical to the fused one)."""
         cfg, prec = self.config, self.precision
         x = L.embed(params["embed_tokens"], tokens)
         x = x + params["pos_embed"][: tokens.shape[1]]
         x = prec.cast(x)
         enc = prec.cast(encoder_out)
+        cross_ws = []
         for lp in params["layers"]:
             h, _ = attention_block(
                 lp["self_attn"], L.layer_norm(lp["self_attn_ln"], x),
                 n_heads=cfg.n_heads, causal=True, precision=prec, backend=self.backend)
             x = x + h
-            h, _ = attention_block(
-                lp["cross_attn"], L.layer_norm(lp["cross_attn_ln"], x),
-                kv_source=enc, kv_valid=encoder_valid,
-                n_heads=cfg.n_heads, precision=prec, backend=self.backend)
+            if return_cross_weights:
+                h, w = _cross_attention_probs(
+                    lp["cross_attn"], L.layer_norm(lp["cross_attn_ln"], x),
+                    enc, encoder_valid, cfg.n_heads, prec)
+                cross_ws.append(w)
+            else:
+                h, _ = attention_block(
+                    lp["cross_attn"], L.layer_norm(lp["cross_attn_ln"], x),
+                    kv_source=enc, kv_valid=encoder_valid,
+                    n_heads=cfg.n_heads, precision=prec, backend=self.backend)
             x = x + h
             x = x + _mlp(lp["mlp"], L.layer_norm(lp["mlp_ln"], x), prec)
         x = L.layer_norm(params["ln_post"], x)
         logits = jnp.matmul(
             x.astype(jnp.float32), params["embed_tokens"]["embedding"].T.astype(jnp.float32))
+        if return_cross_weights:
+            return logits, jnp.stack(cross_ws)
         return logits
 
     # -- incremental decode ---------------------------------------------------
@@ -450,6 +492,15 @@ class WhisperDecoder:
         head) scales (see ``_quantize_kv``) — halves the per-step cache HBM
         traffic for the bandwidth-bound wide serving buckets. The cross K/V
         is quantized once here; self rows are quantized at write time.
+
+        ``quant="int8-cross"``: quantize ONLY the cross cache. Profiling
+        the B=16 bucket (tools/profile_decode.py) showed full-int8's
+        cache-read saving (−21% fusion time) is mostly eaten by the
+        per-step self-cache writes (+82% dynamic_update_slice: int8 tiles
+        pad (32, 128) and two extra scale buffers update every step); the
+        cross cache is the larger traffic (Tenc=1500 vs <=448 positions),
+        is written exactly once, and its scales fold into the attention
+        algebra for free — this mode keeps that win and skips the cost.
         """
         cfg = self.config
         b = encoder_out.shape[0]
@@ -465,16 +516,22 @@ class WhisperDecoder:
         for lp in params["layers"]:
             ck = _split_heads(L.linear(lp["cross_attn"]["k"], enc, prec), cfg.n_heads)
             cv = _split_heads(L.linear(lp["cross_attn"]["v"], enc, prec), cfg.n_heads)
-            if quant == "int8":
+            if quant in ("int8", "int8-cross"):
                 ckq, cks = _quantize_kv(ck)
                 cvq, cvs = _quantize_kv(cv)
                 cross = {"k": ckq, "k_scale": cks, "v": cvq, "v_scale": cvs}
-                self_cache = {
-                    "k": jnp.zeros((rows, max_len, cfg.n_heads, cfg.head_dim), jnp.int8),
-                    "k_scale": jnp.zeros((rows, max_len, cfg.n_heads), jnp.float32),
-                    "v": jnp.zeros((rows, max_len, cfg.n_heads, cfg.head_dim), jnp.int8),
-                    "v_scale": jnp.zeros((rows, max_len, cfg.n_heads), jnp.float32),
-                }
+                if quant == "int8-cross":
+                    self_cache = {
+                        "k": jnp.zeros((rows, max_len, cfg.n_heads, cfg.head_dim), dtype),
+                        "v": jnp.zeros((rows, max_len, cfg.n_heads, cfg.head_dim), dtype),
+                    }
+                else:
+                    self_cache = {
+                        "k": jnp.zeros((rows, max_len, cfg.n_heads, cfg.head_dim), jnp.int8),
+                        "k_scale": jnp.zeros((rows, max_len, cfg.n_heads), jnp.float32),
+                        "v": jnp.zeros((rows, max_len, cfg.n_heads, cfg.head_dim), jnp.int8),
+                        "v_scale": jnp.zeros((rows, max_len, cfg.n_heads), jnp.float32),
+                    }
             elif quant is not None:
                 raise ValueError(f"unknown cache quant {quant!r}")
             else:

@@ -57,6 +57,52 @@ def test_noisy_audio_still_decodes(asr, rng):
     assert np.isfinite(np.asarray(enc)).all()
 
 
+CHUNK_SECONDS = TINY.max_source_positions * 2 * 160 / 16000
+
+
+def test_transcribe_api_quality_mode(asr, rng):
+    """WhisperASR.transcribe: long audio through the openai-style window
+    loop; text via a toy tokenizer; word timestamps via DTW."""
+    model, params = asr
+    wav = rng.standard_normal(
+        int(2.3 * CHUNK_SECONDS * 16000)).astype(np.float32)
+
+    class ToyTok:
+        def decode(self, ids):
+            return " ".join(f"t{int(i)}" for i in ids)
+
+    def group_fn(text):
+        return [(f"t{int(t)}", 1) for t in text]
+
+    out = model.transcribe(
+        params, wav, PREFIX, tokenizer=ToyTok(), beam_size=2, best_of=2,
+        max_len=12, eos_id=EOS, chunk_seconds=CHUNK_SECONDS,
+        temperatures=(0.0,), logprob_threshold=None,
+        compression_ratio_threshold=None, context_tokens=2, sot_prev_id=9,
+        word_times=True, group_fn=group_fn)
+    assert len(out["tokens"]) > 0 and all(t != EOS for t in out["tokens"])
+    assert out["text"] == " ".join(f"t{t}" for t in out["tokens"])
+    assert out["words"] is not None and len(out["words"]) > 0
+    # word times are nondecreasing across windows and bounded by the audio
+    starts = [w.start for w in out["words"]]
+    assert all(b >= a - 1e-9 for a, b in zip(starts, starts[1:]))
+    assert out["words"][-1].end <= 3 * CHUNK_SECONDS + 1e-6
+    # every committed token appears in exactly one word (toy 1:1 grouping)
+    assert [w.tokens[0] for w in out["words"]] == out["tokens"]
+
+
+def test_transcribe_api_streaming_mode(asr, rng):
+    model, params = asr
+    wav = rng.standard_normal(
+        int(1.5 * CHUNK_SECONDS * 16000)).astype(np.float32)
+    out = model.transcribe(
+        params, wav, PREFIX, beam_size=2, max_len=14, eos_id=EOS,
+        chunk_seconds=CHUNK_SECONDS, max_tokens_per_chunk=6,
+        temperatures=None)
+    assert isinstance(out["tokens"], list) and len(out["tokens"]) > 0
+    assert out["text"] is None and out["words"] is None
+
+
 def test_hf_weight_load_roundtrip(asr):
     """load_whisper_torch installs converted encoder+decoder weights."""
     torch = pytest.importorskip("torch")

@@ -407,14 +407,21 @@ def test_streaming_exhaustion_steps_are_noops(setup):
 # ---------------------------------------------------------------------------
 
 
-def test_int8_cache_logits_tolerance(setup):
-    """Teacher-forcing the same tokens through an int8 cache and a full-
-    precision cache must give step logits within quantization tolerance
-    (per-(position, head) max-abs int8 => ~0.4% per-row error)."""
+@pytest.mark.parametrize("quant", ["int8", "int8-cross"])
+def test_int8_cache_logits_tolerance(setup, quant):
+    """Teacher-forcing the same tokens through a quantized cache and a
+    full-precision cache must give step logits within quantization
+    tolerance (per-(position, head) max-abs int8 => ~0.4% per-row error).
+    ``int8-cross`` quantizes only the once-written cross cache (the
+    profiled-out per-step self-cache write cost, models/whisper.py)."""
     dec, params, enc_out = setup
     max_len = 10
     cache_fp = dec.init_cache(params, enc_out, max_len=max_len)
-    cache_q = dec.init_cache(params, enc_out, max_len=max_len, quant="int8")
+    cache_q = dec.init_cache(params, enc_out, max_len=max_len, quant=quant)
+    if quant == "int8-cross":
+        assert cache_q[0]["self"]["k"].dtype != jnp.int8
+        assert "k_scale" not in cache_q[0]["self"]
+        assert cache_q[0]["cross"]["k"].dtype == jnp.int8
     rng = np.random.default_rng(5)
     b = enc_out.shape[0]
     spread = None
@@ -440,8 +447,9 @@ def test_int8_cache_greedy_and_beam_run(setup):
 
     r_fp = beam_search(dec, params, enc_out, PREFIX, beam_size=3, max_len=12,
                        eos_id=EOS)
-    r_q = beam_search(dec, params, enc_out, PREFIX, beam_size=3, max_len=12,
-                      eos_id=EOS, cache_quant="int8")
-    np.testing.assert_allclose(np.asarray(r_q.scores)[:, 0],
-                               np.asarray(r_fp.scores)[:, 0],
-                               rtol=0.15, atol=0.3)
+    for q in ("int8", "int8-cross"):
+        r_q = beam_search(dec, params, enc_out, PREFIX, beam_size=3,
+                          max_len=12, eos_id=EOS, cache_quant=q)
+        np.testing.assert_allclose(np.asarray(r_q.scores)[:, 0],
+                                   np.asarray(r_fp.scores)[:, 0],
+                                   rtol=0.15, atol=0.3)

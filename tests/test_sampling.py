@@ -10,7 +10,7 @@ import pytest
 
 from mocov2_whisper_flamingo_tpu.decode import (
     beam_search, compression_ratio, decode_with_fallback, greedy_decode,
-    needs_fallback, sample_decode)
+    needs_fallback, no_speech_probability, sample_decode)
 from mocov2_whisper_flamingo_tpu.models.whisper import (
     WhisperConfig, WhisperDecoder)
 
@@ -193,6 +193,85 @@ def test_transcribe_long_form_quality_mode(setup):
         key=jax.random.PRNGKey(11), **kw)
     assert t1 == t2
     assert all(t != EOS for t in t1)
+
+
+def test_no_speech_probability_matches_oracle(setup):
+    """The probe equals softmax(logits at the SOT position)[no_speech_id]
+    from a step-by-step teacher-forced forward (openai probs_at_sot)."""
+    dec, params, enc_out = setup
+    ns_id = 7
+    for sot_index in (0, 1):
+        p = np.asarray(no_speech_probability(
+            dec, params, enc_out, PREFIX, ns_id, sot_index=sot_index))
+        assert p.shape == (2,)
+        # oracle: feed prefix[0..sot_index], softmax the last logits
+        cache = dec.init_cache(params, enc_out, max_len=sot_index + 2)
+        for i in range(sot_index + 1):
+            logits, cache = dec.decode_step(
+                params, jnp.broadcast_to(PREFIX[i], (2, 1)).astype(jnp.int32),
+                cache, jnp.int32(i))
+        ref = np.asarray(jax.nn.softmax(
+            logits.astype(jnp.float32), axis=-1))[:, ns_id]
+        np.testing.assert_allclose(p, ref, rtol=2e-4)
+        assert (p >= 0).all() and (p <= 1).all()
+
+
+def test_fallback_returns_no_speech_prob(setup):
+    dec, params, enc_out = setup
+    r = decode_with_fallback(
+        dec, params, enc_out, PREFIX, key=jax.random.PRNGKey(0),
+        beam_size=2, best_of=2, max_len=MAX_LEN, eos_id=EOS,
+        logprob_threshold=None, compression_ratio_threshold=None,
+        no_speech_id=7, sot_index=0)
+    assert r.no_speech_prob is not None and r.no_speech_prob.shape == (2,)
+    ref = np.asarray(no_speech_probability(dec, params, enc_out, PREFIX, 7))
+    np.testing.assert_allclose(r.no_speech_prob, ref, rtol=1e-6)
+    # not requested -> absent
+    r2 = decode_with_fallback(
+        dec, params, enc_out, PREFIX, key=jax.random.PRNGKey(0),
+        beam_size=2, best_of=2, max_len=MAX_LEN, eos_id=EOS,
+        logprob_threshold=None, compression_ratio_threshold=None)
+    assert r2.no_speech_prob is None
+
+
+def test_long_form_no_speech_skip(setup):
+    """A no_speech_threshold of 0 (every window 'silent') with an impossible
+    confidence override commits nothing; threshold=1 commits normally."""
+    from mocov2_whisper_flamingo_tpu.decode.streaming import transcribe_long_form
+    from mocov2_whisper_flamingo_tpu.models.whisper import WhisperEncoder
+
+    dec, params, _ = setup
+    enc = WhisperEncoder(CFG)
+    enc_params = enc.init(jax.random.PRNGKey(1))
+    rng = np.random.default_rng(4)
+    audio = rng.standard_normal(
+        int(2.2 * CFG.max_source_positions * 2 * 160)).astype(np.float32)
+
+    def mel_fn(wav):
+        t = CFG.max_source_positions * 2
+        m = jnp.zeros((80, t))
+        n = min(wav.shape[-1] // 160, t)
+        return m.at[:, :n].set(jnp.resize(
+            wav[: n * 80].reshape(-1)[: 80 * n].reshape(80, n), (80, n)))
+
+    kw = dict(eos_id=EOS, chunk_seconds=CFG.max_source_positions * 2 * 160 / 16000,
+              max_len=16, mel_fn=mel_fn, beam_size=2, best_of=2,
+              temperatures=(0.0,), compression_ratio_threshold=None,
+              no_speech_id=7, sot_id=PREFIX[0])
+    skipped = transcribe_long_form(
+        enc, dec, enc_params, params, audio, PREFIX,
+        no_speech_threshold=-1.0, logprob_threshold=10.0, **kw)
+    assert skipped == []
+    kept = transcribe_long_form(
+        enc, dec, enc_params, params, audio, PREFIX,
+        no_speech_threshold=2.0, logprob_threshold=None, **kw)
+    assert len(kept) > 0
+    # confidence override: prob gate says skip, but avg_logprob clears the
+    # (always-cleared) -inf logprob gate -> windows are kept anyway
+    override = transcribe_long_form(
+        enc, dec, enc_params, params, audio, PREFIX,
+        no_speech_threshold=-1.0, logprob_threshold=-1e9, **kw)
+    assert override == kept
 
 
 def test_fallback_beam_avg_matches_oracle(setup):

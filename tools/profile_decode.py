@@ -26,14 +26,20 @@ def main() -> None:
     parser = argparse.ArgumentParser()
     parser.add_argument("--outdir", default="/tmp/decode_prof")
     parser.add_argument("--steps", type=int, default=32)
+    parser.add_argument("--batch", type=int, default=None,
+                        help="override the bench batch size (serving buckets)")
+    parser.add_argument("--cache-quant", default=None,
+                        choices=(None, "int8", "int8-cross"),
+                        help="KV-cache quantization for the profiled decode")
     args = parser.parse_args()
 
     import jax
     import jax.numpy as jnp
 
     sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
-    from bench import B, BEAM, EOS, PREFIX, _build, _make_batch, _preprocess
+    from bench import B as B_DEFAULT, BEAM, EOS, PREFIX, _build, _make_batch, _preprocess
 
+    B = args.batch or B_DEFAULT
     net, params = _build("whisper-small")
     rng = np.random.default_rng(0)
     batch = _make_batch(rng, B)
@@ -49,7 +55,7 @@ def main() -> None:
     dec_params = net._decode_params(params)
     decode = jax.jit(lambda dp, f, v: beam_search(
         net.decoder, dp, f, PREFIX, beam_size=BEAM, max_len=max_len,
-        eos_id=EOS, encoder_valid=v).sequences)
+        eos_id=EOS, encoder_valid=v, cache_quant=args.cache_quant).sequences)
     decode(dec_params, feats, valid).block_until_ready()  # compile
 
     t0 = time.perf_counter()
