@@ -395,13 +395,23 @@ def transcribe_long_form(
     sot_id: int | None = None,
     text_fn=None,
     key=None,
-) -> list[int]:
+    return_segments: bool = False,
+) -> list[int] | tuple[list[int], list[dict]]:
     """End-to-end long-form ASR: waveform of arbitrary length -> 30 s chunks
     -> log-mel -> encoder -> streaming decode with a persistent KV cache
     (BASELINE config 5). Returns all generated token ids (prefix excluded);
     with ``rollover`` (default) the transcript length is unbounded by the
     decoder's ``max_len`` budget (window restart + optional text
     conditioning — see ``StreamingDecoder``).
+
+    ``return_segments``: also return per-window segment dicts
+    ``{"id", "start", "end", "tokens"}`` (start/end = the 30 s window
+    bounds, clipped to the audio length — openai's segments refine these
+    with timestamp tokens; enable ``LogitRules`` timestamps for that).
+    Quality mode adds the openai per-segment diagnostics
+    (``temperature``, ``avg_logprob``, ``gates_passed``, and
+    ``no_speech_prob`` when probed); windows skipped as silence produce no
+    segment (openai behavior).
 
     Per chunk: one compiled encoder dispatch + one compiled decode dispatch
     (the whole token loop runs on-device under ``lax.scan``).
@@ -424,6 +434,11 @@ def transcribe_long_form(
     chunk_samples = int(chunk_seconds * sample_rate)
     audio = jnp.asarray(audio)
     n_chunks = max(-(-audio.shape[-1] // chunk_samples), 1)
+    duration = audio.shape[-1] / sample_rate
+
+    def window_bounds(i):
+        return (i * chunk_seconds,
+                min((i + 1) * chunk_seconds, duration))
 
     encode = jax.jit(encoder.apply)
 
@@ -441,6 +456,7 @@ def transcribe_long_form(
         key = key if key is not None else jax.random.PRNGKey(0)
         prefix = [int(t) for t in prefix_ids]
         committed: list[int] = []
+        segments: list[dict] = []
         probe_ns = no_speech_threshold is not None and no_speech_id is not None
         for i in range(n_chunks):
             ctx = [t for t in committed if t != eos_id][-context_tokens:] \
@@ -476,8 +492,17 @@ def transcribe_long_form(
             row = [int(t) for t in r.sequences[0][len(window_prefix):]]
             while row and row[-1] == eos_id:
                 row.pop()
+            start, end = window_bounds(i)
+            seg = {"id": len(segments), "start": start, "end": end,
+                   "tokens": row,
+                   "temperature": float(r.temperature[0]),
+                   "avg_logprob": float(r.avg_logprob[0]),
+                   "gates_passed": bool(r.gates_passed[0])}
+            if probe_ns:
+                seg["no_speech_prob"] = float(r.no_speech_prob[0])
+            segments.append(seg)
             committed.extend(row)
-        return committed
+        return (committed, segments) if return_segments else committed
 
     stream = StreamingDecoder(
         decoder, decoder_params, prefix_ids, max_len=max_len, eos_id=eos_id,
@@ -486,6 +511,12 @@ def transcribe_long_form(
         context_tokens=context_tokens, sot_prev_id=sot_prev_id,
         logit_rules=logit_rules)
     out: list[int] = []
+    segments = []
     for i in range(n_chunks):
-        out.extend(stream.process_chunk(chunk_features(i)))
-    return out
+        new = stream.process_chunk(chunk_features(i))
+        if new:
+            start, end = window_bounds(i)
+            segments.append({"id": len(segments), "start": start,
+                             "end": end, "tokens": new})
+        out.extend(new)
+    return (out, segments) if return_segments else out

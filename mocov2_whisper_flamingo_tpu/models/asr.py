@@ -140,8 +140,12 @@ class WhisperASR:
         fully-compiled streaming path (decode/streaming.py — persistent
         cache, one dispatch per chunk, maximum throughput).
 
-        Returns ``{"tokens": [...], "text": str|None, "words": [...]|None}``;
-        ``text`` when a ``tokenizer`` (``.decode(ids) -> str``) is given,
+        Returns ``{"tokens": [...], "text": str|None, "segments": [...],
+        "words": [...]|None}``; ``text`` (full and per-segment) when a
+        ``tokenizer`` (``.decode(ids) -> str``) is given, ``segments`` are
+        per-30 s-window dicts (quality mode adds temperature/avg_logprob/
+        no_speech_prob diagnostics — openai's result shape, consumable by
+        ``utils.writers.get_writer`` for txt/srt/vtt/tsv/json output),
         ``words`` (``decode.timestamps.WordTiming``) when ``word_times``
         with a ``group_fn`` — word times are per-window DTW alignments
         offset by each window's start (openai semantics).
@@ -151,7 +155,7 @@ class WhisperASR:
 
         dec_params = self._cast_decoder_params(params)
         text_fn = (lambda ids: tokenizer.decode(ids)) if tokenizer else None
-        tokens = transcribe_long_form(
+        tokens, segments = transcribe_long_form(
             self.encoder, self.decoder, params["encoder"], dec_params,
             audio, prefix_ids, eos_id=eos_id, chunk_seconds=chunk_seconds,
             sample_rate=sample_rate, max_len=max_len,
@@ -163,39 +167,39 @@ class WhisperASR:
             compression_ratio_threshold=compression_ratio_threshold,
             no_speech_threshold=no_speech_threshold,
             no_speech_id=no_speech_id, sot_id=sot_id, text_fn=text_fn,
-            key=key)
+            key=key, return_segments=True)
+        if text_fn:
+            for seg in segments:
+                seg["text"] = text_fn(seg["tokens"])
         out = {"tokens": tokens,
-               "text": text_fn(tokens) if text_fn else None, "words": None}
+               "text": text_fn(tokens) if text_fn else None,
+               "segments": segments, "words": None}
         if word_times:
             if group_fn is None:
                 raise ValueError("word_times needs a tokenizer-aware group_fn")
             out["words"] = self._word_times(
-                params, dec_params, audio, tokens, list(prefix_ids), group_fn,
-                chunk_seconds=chunk_seconds, sample_rate=sample_rate,
-                eos_id=eos_id)
+                params, dec_params, audio, segments, list(prefix_ids),
+                group_fn, chunk_seconds=chunk_seconds,
+                sample_rate=sample_rate, eos_id=eos_id)
         return out
 
-    def _word_times(self, params, dec_params, audio, tokens, prefix,
+    def _word_times(self, params, dec_params, audio, segments, prefix,
                     group_fn, chunk_seconds, sample_rate, eos_id):
-        """Per-window DTW word alignment over an already-committed
-        transcript: each window's tokens are re-scored teacher-forced
-        against that window's encoder output (one compiled forward per
-        window) and times are offset by the window start. Token->window
-        attribution is proportional (the committed stream does not retain
-        window boundaries); pass tokens through ``transcribe`` windows for
-        exact per-window grouping."""
+        """Per-window DTW word alignment: each segment's tokens are
+        re-scored teacher-forced against that window's encoder output (one
+        compiled forward per window) and times are offset by the window
+        start. Segment boundaries give exact token->window attribution."""
         from mocov2_whisper_flamingo_tpu.decode.timestamps import (
             word_timestamps)
 
         audio = jnp.asarray(audio)
         chunk_samples = int(chunk_seconds * sample_rate)
-        n_chunks = max(-(-audio.shape[-1] // chunk_samples), 1)
-        per = -(-len(tokens) // n_chunks)
         words = []
-        for i in range(n_chunks):
-            window = tokens[i * per:(i + 1) * per]
+        for seg in segments:
+            window = seg["tokens"]
             if not window:
                 continue
+            i = int(round(seg["start"] / chunk_seconds))
             chunk = audio[..., i * chunk_samples:(i + 1) * chunk_samples]
             mel = self.features(chunk, pad_to=chunk_samples)
             enc = self.encode(params, mel)
@@ -204,7 +208,7 @@ class WhisperASR:
             ws = word_timestamps(self.decoder, dec_params, seq, enc,
                                  group_fn, n_prefix=len(prefix),
                                  n_text=len(window), n_frames=n_frames)
-            off = i * chunk_seconds
+            off = seg["start"]
             for w in ws:
                 w.start += off
                 w.end += off

@@ -82,6 +82,15 @@ def test_transcribe_api_quality_mode(asr, rng):
         word_times=True, group_fn=group_fn)
     assert len(out["tokens"]) > 0 and all(t != EOS for t in out["tokens"])
     assert out["text"] == " ".join(f"t{t}" for t in out["tokens"])
+    # segments: per-window, concatenating to the token stream, with the
+    # openai quality diagnostics and per-segment text
+    segs = out["segments"]
+    assert [t for s in segs for t in s["tokens"]] == out["tokens"]
+    assert all(s["end"] > s["start"] for s in segs)
+    assert segs[-1]["end"] <= 3 * CHUNK_SECONDS + 1e-6
+    assert all("temperature" in s and "avg_logprob" in s for s in segs)
+    assert all(s["text"] == " ".join(f"t{t}" for t in s["tokens"])
+               for s in segs)
     assert out["words"] is not None and len(out["words"]) > 0
     # word times are nondecreasing across windows and bounded by the audio
     starts = [w.start for w in out["words"]]
@@ -101,6 +110,7 @@ def test_transcribe_api_streaming_mode(asr, rng):
         temperatures=None)
     assert isinstance(out["tokens"], list) and len(out["tokens"]) > 0
     assert out["text"] is None and out["words"] is None
+    assert [t for s in out["segments"] for t in s["tokens"]] == out["tokens"]
 
 
 def test_hf_weight_load_roundtrip(asr):

@@ -342,3 +342,48 @@ def test_evaluate_beam_data_parallel_matches_single_device(tmp_path):
         ref_hyps.extend(dm.tokenizer.batch_decode(np.asarray(seqs),
                                                   skip_special_tokens=True))
     assert report["hyps"] == ref_hyps
+
+
+def test_transcribe_cli_end_to_end(tmp_path, rng):
+    """tools/transcribe CLI: npy audio -> quality-mode decode -> every
+    writer format on disk (openai `whisper` CLI capability)."""
+    from mocov2_whisper_flamingo_tpu.tools import transcribe as cli
+
+    wav = rng.standard_normal(int(1.5 * 16000)).astype(np.float32)
+    audio_path = tmp_path / "clip.npy"
+    np.save(audio_path, wav)
+
+    rc = cli.main([
+        str(audio_path), "--model", "whisper-tiny", "--random-init",
+        "--beam-size", "2", "--max-len", "12", "--chunk-seconds", "2",
+        "--temperature", "0", "--word-timestamps",
+        "--output-format", "all", "--output-dir", str(tmp_path / "out")])
+    assert rc == 0
+    out = tmp_path / "out"
+    for fmt in ("txt", "srt", "vtt", "tsv", "json"):
+        p = out / f"clip.{fmt}"
+        assert p.exists() and p.stat().st_size > 0, fmt
+    payload = json.loads((out / "clip.json").read_text())
+    assert payload["segments"] and "start" in payload["segments"][0]
+    # vtt must be well-formed
+    assert (out / "clip.vtt").read_text().startswith("WEBVTT")
+
+
+def test_transcribe_cli_requires_weights_choice(tmp_path):
+    from mocov2_whisper_flamingo_tpu.tools import transcribe as cli
+
+    with pytest.raises(SystemExit):
+        cli.main([str(tmp_path / "x.npy")])
+
+
+def test_default_group_fn_whitespace_grouping():
+    """ByteTokenizer pieces regroup into space-delimited words with exact
+    token counts."""
+    from mocov2_whisper_flamingo_tpu.tools.transcribe import default_group_fn
+    from mocov2_whisper_flamingo_tpu.utils.tokenizer import ByteTokenizer
+
+    tok = ByteTokenizer()
+    ids = tok.encode("hi to ai", add_special_tokens=False)
+    words = default_group_fn(tok)(ids)
+    assert [w for w, _ in words] == ["hi", "to", "ai"]
+    assert sum(n for _, n in words) == len(ids)

@@ -1,0 +1,102 @@
+"""Transcript writers (utils/writers.py) — openai get_writer parity.
+
+Golden-string tests for the srt/vtt/tsv/txt formats against the openai
+``whisper/utils.py`` writer conventions, JSON round-trip, word-level
+highlight cues, and the timestamp formatter's carry/edge behavior.
+"""
+
+import io
+import json
+
+import pytest
+
+from mocov2_whisper_flamingo_tpu.decode.timestamps import WordTiming
+from mocov2_whisper_flamingo_tpu.utils.writers import (
+    WRITER_FORMATS, format_timestamp, get_writer, write_json, write_srt,
+    write_tsv, write_txt, write_vtt)
+
+RESULT = {
+    "text": " hello world again",
+    "segments": [
+        {"id": 0, "start": 0.0, "end": 2.5, "text": " hello world",
+         "tokens": [1, 2]},
+        {"id": 1, "start": 2.5, "end": 5.0, "text": " again",
+         "tokens": [3]},
+    ],
+    "words": [
+        WordTiming("hello", 0.0, 1.0, [1]),
+        WordTiming("world", 1.0, 2.5, [2]),
+        WordTiming("again", 2.5, 4.0, [3]),
+    ],
+}
+
+
+def _render(writer, result=RESULT, **kw):
+    buf = io.StringIO()
+    writer(result, buf, **kw) if kw else writer(result, buf)
+    return buf.getvalue()
+
+
+def test_format_timestamp():
+    assert format_timestamp(0.0) == "00:00.000"
+    assert format_timestamp(1.5) == "00:01.500"
+    assert format_timestamp(59.9995) == "01:00.000"  # ms rounding carries
+    assert format_timestamp(3661.25, True, ",") == "01:01:01,250"
+    assert format_timestamp(3600.0) == "01:00:00.000"  # hours auto-included
+    with pytest.raises(ValueError):
+        format_timestamp(-1.0)
+
+
+def test_txt():
+    assert _render(write_txt) == "hello world\nagain\n"
+
+
+def test_srt_golden():
+    assert _render(write_srt) == (
+        "1\n00:00:00,000 --> 00:00:02,500\nhello world\n\n"
+        "2\n00:00:02,500 --> 00:00:05,000\nagain\n\n")
+
+
+def test_vtt_golden():
+    assert _render(write_vtt) == (
+        "WEBVTT\n\n"
+        "00:00.000 --> 00:02.500\nhello world\n\n"
+        "00:02.500 --> 00:05.000\nagain\n\n")
+
+
+def test_tsv():
+    lines = _render(write_tsv).splitlines()
+    assert lines[0] == "start\tend\ttext"
+    assert lines[1] == "0\t2500\thello world"
+    assert lines[2] == "2500\t5000\tagain"
+
+
+def test_json_roundtrip():
+    out = json.loads(_render(write_json))
+    assert out["text"] == RESULT["text"]
+    assert [s["text"] for s in out["segments"]] == [" hello world", " again"]
+    assert out["words"][0] == {"word": "hello", "start": 0.0, "end": 1.0,
+                               "tokens": [1]}
+
+
+def test_highlight_words():
+    srt = _render(write_srt, highlight_words=True)
+    assert "<u>hello</u> world again" in srt
+    assert "hello <u>world</u> again" in srt
+    assert "00:00:01,000 --> 00:00:02,500" in srt  # word-level cue times
+    vtt = _render(write_vtt, highlight_words=True)
+    assert vtt.startswith("WEBVTT") and "hello world <u>again</u>" in vtt
+
+
+def test_no_segments_fallback():
+    result = {"text": "x", "segments": [],
+              "words": [WordTiming("x", 0.0, 1.25, [9])]}
+    assert _render(write_txt, result) == "x\n"
+    assert "00:00:00,000 --> 00:00:01,250" in _render(write_srt, result)
+
+
+def test_get_writer():
+    assert set(WRITER_FORMATS) == {"txt", "srt", "vtt", "tsv", "json"}
+    assert get_writer("srt") is write_srt
+    with pytest.raises(ValueError, match="unknown output format"):
+        get_writer("docx")
