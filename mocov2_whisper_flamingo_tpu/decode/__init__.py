@@ -16,3 +16,5 @@ from mocov2_whisper_flamingo_tpu.decode.sampling import (  # noqa: F401
     no_speech_probability, sample_decode)
 from mocov2_whisper_flamingo_tpu.decode.timestamps import (  # noqa: F401
     WordTiming, token_timestamps, word_timestamps)
+from mocov2_whisper_flamingo_tpu.decode.language import (  # noqa: F401
+    detect_language)

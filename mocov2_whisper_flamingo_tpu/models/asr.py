@@ -94,6 +94,23 @@ class WhisperASR:
                                       logit_rules=logit_rules)
         return res.sequences[:, 0]
 
+    def detect_language(
+        self,
+        params: dict,
+        audio: jnp.ndarray,
+        sot_id: int,
+        language_token_ids: Sequence[int],
+        pad_to: int | None = 480_000,
+    ) -> tuple[jnp.ndarray, jnp.ndarray]:
+        """Spoken-language ID from the first 30 s (openai
+        ``model.detect_language``): returns ([B] best language token id,
+        [B, n_lang] probabilities ordered as ``language_token_ids``)."""
+        from mocov2_whisper_flamingo_tpu.decode.language import detect_language
+
+        enc = self.encode(params, self.features(audio, pad_to=pad_to))
+        return detect_language(self.decoder, self._cast_decoder_params(params),
+                               enc, sot_id, language_token_ids)
+
     def _cast_decoder_params(self, params: dict) -> dict:
         prec = self.precision
         return jax.tree.map(
