@@ -29,9 +29,12 @@ _LIB_PATH = os.path.join(_NATIVE_DIR, "build", "libavsr_io.so")
 
 @lru_cache(maxsize=1)
 def load_library():
-    """Load (building if needed) the native library; None if unavailable."""
-    if not os.path.exists(_LIB_PATH):
-        src = os.path.join(_NATIVE_DIR, "avsr_io.cpp")
+    """Load (building if needed) the native library; None if unavailable.
+    Rebuilds when the source is newer than the cached .so."""
+    src = os.path.join(_NATIVE_DIR, "avsr_io.cpp")
+    stale = (os.path.exists(_LIB_PATH) and os.path.exists(src)
+             and os.path.getmtime(src) > os.path.getmtime(_LIB_PATH))
+    if not os.path.exists(_LIB_PATH) or stale:
         if not os.path.exists(src):
             return None
         try:
@@ -61,6 +64,10 @@ def load_library():
         ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_int64), ctypes.c_long,
         ctypes.c_long, ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_int64)]
     lib.avsr_batch_by_size.restype = ctypes.c_long
+    lib.avsr_dtw.argtypes = [
+        ctypes.POINTER(ctypes.c_double), ctypes.c_long, ctypes.c_long,
+        ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_int64)]
+    lib.avsr_dtw.restype = ctypes.c_long
     return lib
 
 
@@ -179,3 +186,28 @@ def batch_by_size(indices: np.ndarray, sizes: np.ndarray, max_tokens: int) -> li
             batch_max = new_max
     batches.append(indices[start:])
     return batches
+
+
+# ---------------------------------------------------------------------------
+# Monotonic DTW (decode/timestamps.py word alignment)
+# ---------------------------------------------------------------------------
+
+
+def dtw(cost: np.ndarray) -> tuple[np.ndarray, np.ndarray] | None:
+    """Native DTW over an [n, m] cost matrix; None when the library is
+    unavailable (the caller falls back to the numpy DP with identical
+    semantics — equality is tested in tests/test_timestamps.py)."""
+    lib = load_library()
+    if lib is None:
+        return None
+    c = np.ascontiguousarray(cost, dtype=np.float64)
+    n, m = c.shape
+    out_text = np.empty(n + m, dtype=np.int64)
+    out_time = np.empty(n + m, dtype=np.int64)
+    length = lib.avsr_dtw(
+        c.ctypes.data_as(ctypes.POINTER(ctypes.c_double)), n, m,
+        out_text.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        out_time.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)))
+    if length < 0:
+        return None
+    return out_text[:length], out_time[:length]

@@ -69,7 +69,21 @@ def dtw(cost: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
     """Monotonic DTW over a [N, M] cost matrix; returns the aligned
     (text_indices, time_indices) path, forward order (openai timing.py
     ``dtw_cpu``: moves are (i-1,j), (i,j-1), (i-1,j-1); backtrace prefers
-    the diagonal; the path starts at (0,0) and ends at (N-1, M-1))."""
+    the diagonal; the path starts at (0,0) and ends at (N-1, M-1)).
+
+    Dispatches to the native C++ DP (native/avsr_io.cpp ``avsr_dtw``,
+    ~100x the Python loop at the 448x1500 Whisper shape — openai uses a
+    numba/triton kernel for the same reason); ``_dtw_numpy`` is the
+    always-available fallback with identical semantics."""
+    from mocov2_whisper_flamingo_tpu.datamodule import native
+
+    got = native.dtw(cost)
+    if got is not None:
+        return got
+    return _dtw_numpy(cost)
+
+
+def _dtw_numpy(cost: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
     n, m = cost.shape
     acc = np.full((n + 1, m + 1), np.inf, dtype=np.float64)
     trace = np.zeros((n + 1, m + 1), dtype=np.int8)

@@ -191,3 +191,24 @@ def test_word_timestamps_grouping(setup):
     starts, _ = token_timestamps(dec, params, tokens, enc_out)
     assert words[0].start == pytest.approx(float(starts[2]))
     assert isinstance(words[0], WordTiming)
+
+
+def test_native_dtw_matches_numpy():
+    """The C++ DP (native/avsr_io.cpp avsr_dtw) must be path-identical to
+    the numpy fallback — including tie-breaking (diagonal preferred)."""
+    from mocov2_whisper_flamingo_tpu.datamodule import native
+    from mocov2_whisper_flamingo_tpu.decode.timestamps import _dtw_numpy
+
+    if native.load_library() is None:
+        pytest.skip("native library unavailable")
+    rng = np.random.default_rng(7)
+    cases = [rng.standard_normal((n, m)) for n, m in
+             ((1, 1), (1, 9), (9, 1), (12, 30), (40, 25))]
+    cases.append(np.zeros((6, 6)))          # all ties -> pure tie-break path
+    cases.append(np.tile(rng.standard_normal(8), (5, 1)))  # row ties
+    for cost in cases:
+        got = native.dtw(cost)
+        assert got is not None
+        ref = _dtw_numpy(cost)
+        np.testing.assert_array_equal(got[0], ref[0])
+        np.testing.assert_array_equal(got[1], ref[1])
