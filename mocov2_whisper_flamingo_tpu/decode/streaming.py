@@ -406,12 +406,16 @@ def transcribe_long_form(
 
     ``return_segments``: also return per-window segment dicts
     ``{"id", "start", "end", "tokens"}`` (start/end = the 30 s window
-    bounds, clipped to the audio length — openai's segments refine these
-    with timestamp tokens; enable ``LogitRules`` timestamps for that).
-    Quality mode adds the openai per-segment diagnostics
-    (``temperature``, ``avg_logprob``, ``gates_passed``, and
-    ``no_speech_prob`` when probed); windows skipped as silence produce no
-    segment (openai behavior).
+    bounds, clipped to the audio length). Quality mode adds the openai
+    per-segment diagnostics (``temperature``, ``avg_logprob``,
+    ``gates_passed``, and ``no_speech_prob`` when probed); windows skipped
+    as silence produce no segment (openai behavior). When ``logit_rules``
+    enable the timestamp grammar, quality mode further runs openai's
+    timestamp-conditioned window loop (decode/segments.py): timestamp
+    pairs split windows into precisely timed segments (timestamp tokens
+    kept in segment ``tokens``), the next window SEEKS to the last
+    predicted timestamp, the unfinished tail segment is re-decoded, and
+    the flat return keeps text tokens only.
 
     Per chunk: one compiled encoder dispatch + one compiled decode dispatch
     (the whole token loop runs on-device under ``lax.scan``).
@@ -442,23 +446,42 @@ def transcribe_long_form(
 
     encode = jax.jit(encoder.apply)
 
-    def chunk_features(i):
-        chunk = audio[..., i * chunk_samples : (i + 1) * chunk_samples]
+    def features_at(start_sample):
+        chunk = audio[..., start_sample : start_sample + chunk_samples]
         pad = chunk_samples - chunk.shape[-1]
         if pad > 0:  # keep mel/encoder shapes static across chunks
             chunk = jnp.pad(chunk, [(0, 0)] * (chunk.ndim - 1) + [(0, pad)])
         return encode(encoder_params, mel_fn(chunk)[None])
 
+    def chunk_features(i):
+        return features_at(i * chunk_samples)
+
     if temperatures is not None:
         from mocov2_whisper_flamingo_tpu.decode.sampling import (
             decode_with_fallback)
+
+        from mocov2_whisper_flamingo_tpu.decode.segments import (
+            TIME_PRECISION, segments_from_window, strip_timestamps)
 
         key = key if key is not None else jax.random.PRNGKey(0)
         prefix = [int(t) for t in prefix_ids]
         committed: list[int] = []
         segments: list[dict] = []
         probe_ns = no_speech_threshold is not None and no_speech_id is not None
-        for i in range(n_chunks):
+        # Timestamp-conditioned seek (openai transcribe): with the timestamp
+        # grammar active, windows advance to the last predicted timestamp
+        # instead of a fixed 30 s stride, and timestamp pairs split a window
+        # into precisely timed segments.
+        ts0 = getattr(logit_rules, "timestamp_begin", None) \
+            if logit_rules is not None else None
+        seek = 0.0
+        window_index = 0
+        # Safety bound for the seek loop (a pathological model could emit
+        # tiny advances forever; openai has no guard — we cap at 10x the
+        # fixed-stride window count and fall back to full-window strides).
+        max_windows = n_chunks * 10 + 10
+        while (seek < duration - 1e-9 and window_index < max_windows) \
+                if ts0 is not None else window_index < n_chunks:
             ctx = [t for t in committed if t != eos_id][-context_tokens:] \
                 if context_tokens > 0 else []
             if ctx and sot_prev_id is not None:
@@ -469,9 +492,12 @@ def transcribe_long_form(
             sot_index = (window_prefix.index(sot_id)
                          if sot_id is not None and sot_id in window_prefix
                          else len(ctx))
+            start_sample = (int(round(seek * sample_rate)) if ts0 is not None
+                            else window_index * chunk_samples)
             r = decode_with_fallback(
-                decoder, decoder_params, chunk_features(i), window_prefix,
-                key=jax.random.fold_in(key, i), temperatures=temperatures,
+                decoder, decoder_params, features_at(start_sample),
+                window_prefix, key=jax.random.fold_in(key, window_index),
+                temperatures=temperatures,
                 beam_size=beam_size, best_of=best_of, max_len=max_len,
                 eos_id=eos_id, logit_rules=logit_rules,
                 length_penalty=length_penalty,
@@ -480,28 +506,45 @@ def transcribe_long_form(
                 text_fn=text_fn,
                 no_speech_id=no_speech_id if probe_ns else None,
                 sot_index=sot_index)
+            window_index += 1
+            skipped = False
             if probe_ns:
                 # openai transcribe: skip the window as silence, unless the
                 # decode is nonetheless confident (avg_logprob above gate).
-                should_skip = float(r.no_speech_prob[0]) > no_speech_threshold
+                skipped = float(r.no_speech_prob[0]) > no_speech_threshold
                 if (logprob_threshold is not None
                         and float(r.avg_logprob[0]) > logprob_threshold):
-                    should_skip = False
-                if should_skip:
-                    continue
+                    skipped = False
+            if skipped:
+                seek += chunk_seconds
+                continue
             row = [int(t) for t in r.sequences[0][len(window_prefix):]]
             while row and row[-1] == eos_id:
                 row.pop()
-            start, end = window_bounds(i)
-            seg = {"id": len(segments), "start": start, "end": end,
-                   "tokens": row,
-                   "temperature": float(r.temperature[0]),
-                   "avg_logprob": float(r.avg_logprob[0]),
-                   "gates_passed": bool(r.gates_passed[0])}
+            diag = {"temperature": float(r.temperature[0]),
+                    "avg_logprob": float(r.avg_logprob[0]),
+                    "gates_passed": bool(r.gates_passed[0])}
             if probe_ns:
-                seg["no_speech_prob"] = float(r.no_speech_prob[0])
-            segments.append(seg)
-            committed.extend(row)
+                diag["no_speech_prob"] = float(r.no_speech_prob[0])
+            if ts0 is not None:
+                window_dur = min(chunk_seconds, duration - seek)
+                segs, advance = segments_from_window(
+                    row, ts0, time_offset=seek,
+                    segment_duration=window_dur)
+                for s in segs:
+                    s.update(diag)
+                    s["id"] = len(segments)
+                    segments.append(s)
+                    # flat stream keeps TEXT tokens only (openai
+                    # all_tokens < tokenizer.eot); segments keep the
+                    # timestamps
+                    committed.extend(strip_timestamps(s["tokens"], ts0))
+                seek += max(advance, TIME_PRECISION)
+            else:
+                start, end = window_bounds(window_index - 1)
+                segments.append({"id": len(segments), "start": start,
+                                 "end": end, "tokens": row, **diag})
+                committed.extend(row)
         return (committed, segments) if return_segments else committed
 
     stream = StreamingDecoder(

@@ -82,6 +82,15 @@ def main(argv=None) -> int:
     parser.add_argument("--temperature", type=float, nargs="*",
                         default=(0.0, 0.2, 0.4, 0.6, 0.8, 1.0))
     parser.add_argument("--word-timestamps", action="store_true")
+    parser.add_argument(
+        "--generation-config", default=None,
+        help="path to an HF generation_config.json: applies its suppress/"
+             "begin-suppress/forced token rules during decoding")
+    parser.add_argument(
+        "--timestamps", action="store_true",
+        help="enable the Whisper timestamp grammar (requires "
+             "--generation-config): segments split at predicted timestamp "
+             "pairs and windows seek to the last timestamp (openai loop)")
     parser.add_argument("--output-format", default="txt",
                         choices=("txt", "srt", "vtt", "tsv", "json", "all"))
     parser.add_argument("--output-dir", default=".")
@@ -112,6 +121,18 @@ def main(argv=None) -> int:
 
     prefix = list(tokenizer.prefix_token_ids)
     eos = int(tokenizer.eos_token_id)
+    logit_rules = None
+    if args.generation_config:
+        import json as _json
+
+        from mocov2_whisper_flamingo_tpu.decode import LogitRules
+
+        with open(args.generation_config, encoding="utf-8") as f:
+            logit_rules = LogitRules.for_whisper(
+                _json.load(f), model.config.vocab_size,
+                timestamps=args.timestamps)
+    elif args.timestamps:
+        parser.error("--timestamps requires --generation-config")
     formats = WRITER_FORMATS if args.output_format == "all" \
         else (args.output_format,)
     os.makedirs(args.output_dir, exist_ok=True)
@@ -123,6 +144,7 @@ def main(argv=None) -> int:
             beam_size=args.beam_size, max_len=args.max_len, eos_id=eos,
             chunk_seconds=args.chunk_seconds,
             temperatures=None if args.streaming else tuple(args.temperature),
+            logit_rules=logit_rules,
             word_times=args.word_timestamps,
             group_fn=default_group_fn(tokenizer)
             if args.word_timestamps else None)

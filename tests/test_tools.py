@@ -387,3 +387,30 @@ def test_default_group_fn_whitespace_grouping():
     words = default_group_fn(tok)(ids)
     assert [w for w, _ in words] == ["hi", "to", "ai"]
     assert sum(n for _, n in words) == len(ids)
+
+
+def test_transcribe_cli_timestamp_seek(tmp_path, rng):
+    """--timestamps + --generation-config: the openai timestamp-seek loop
+    through the CLI; json output carries timestamp-refined segments."""
+    from mocov2_whisper_flamingo_tpu.tools import transcribe as cli
+
+    wav = rng.standard_normal(int(1.2 * 16000)).astype(np.float32)
+    audio_path = tmp_path / "clip.npy"
+    np.save(audio_path, wav)
+    gen_cfg = tmp_path / "generation_config.json"
+    gen_cfg.write_text(json.dumps({
+        "no_timestamps_token_id": 50363, "eos_token_id": 50257,
+        "max_initial_timestamp_index": 50}))
+
+    rc = cli.main([
+        str(audio_path), "--model", "whisper-tiny", "--random-init",
+        "--beam-size", "2", "--max-len", "10", "--chunk-seconds", "2",
+        "--temperature", "0", "--timestamps",
+        "--generation-config", str(gen_cfg),
+        "--output-format", "json", "--output-dir", str(tmp_path / "out")])
+    assert rc == 0
+    payload = json.loads((tmp_path / "out" / "clip.json").read_text())
+    segs = payload["segments"]
+    assert segs and all(s["start"] <= s["end"] for s in segs)
+    # grammar: each window opens with a timestamp token
+    assert segs[0]["tokens"][0] >= 50364
