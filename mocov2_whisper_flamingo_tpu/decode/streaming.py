@@ -534,6 +534,7 @@ def transcribe_long_form(
                 for s in segs:
                     s.update(diag)
                     s["id"] = len(segments)
+                    s["seek"] = seek  # window origin (openai segment key)
                     segments.append(s)
                     # flat stream keeps TEXT tokens only (openai
                     # all_tokens < tokenizer.eot); segments keep the
@@ -543,7 +544,8 @@ def transcribe_long_form(
             else:
                 start, end = window_bounds(window_index - 1)
                 segments.append({"id": len(segments), "start": start,
-                                 "end": end, "tokens": row, **diag})
+                                 "end": end, "seek": start, "tokens": row,
+                                 **diag})
                 committed.extend(row)
         return (committed, segments) if return_segments else committed
 
@@ -560,6 +562,6 @@ def transcribe_long_form(
         if new:
             start, end = window_bounds(i)
             segments.append({"id": len(segments), "start": start,
-                             "end": end, "tokens": new})
+                             "end": end, "seek": start, "tokens": new})
         out.extend(new)
     return (out, segments) if return_segments else out

@@ -143,6 +143,7 @@ class WhisperASR:
         logit_rules=None,
         word_times: bool = False,
         group_fn=None,
+        alignment_heads: Sequence[tuple[int, int]] | None = None,
         key: jax.Array | None = None,
     ) -> dict:
         """Long-form transcription of arbitrary-length audio — the
@@ -197,11 +198,15 @@ class WhisperASR:
             out["words"] = self._word_times(
                 params, dec_params, audio, segments, list(prefix_ids),
                 group_fn, chunk_seconds=chunk_seconds,
-                sample_rate=sample_rate, eos_id=eos_id)
+                sample_rate=sample_rate, eos_id=eos_id,
+                alignment_heads=alignment_heads,
+                timestamp_begin=getattr(logit_rules, "timestamp_begin", None)
+                if logit_rules is not None else None)
         return out
 
     def _word_times(self, params, dec_params, audio, segments, prefix,
-                    group_fn, chunk_seconds, sample_rate, eos_id):
+                    group_fn, chunk_seconds, sample_rate, eos_id,
+                    alignment_heads=None, timestamp_begin=None):
         """Per-window DTW word alignment: each segment's tokens are
         re-scored teacher-forced against that window's encoder output (one
         compiled forward per window) and times are offset by the window
@@ -211,21 +216,33 @@ class WhisperASR:
 
         audio = jnp.asarray(audio)
         chunk_samples = int(chunk_seconds * sample_rate)
-        words = []
+        # One alignment per decode WINDOW (openai add_word_timestamps
+        # aligns all of a window's text at once): group segments by their
+        # seek origin and concatenate their text tokens.
+        windows: dict[float, list[int]] = {}
         for seg in segments:
-            window = seg["tokens"]
+            toks = seg["tokens"]
+            if timestamp_begin is not None:
+                toks = [t for t in toks if t < timestamp_begin]
+            start_s = seg.get(
+                "seek", int(round(seg["start"] / chunk_seconds))
+                * chunk_seconds)
+            windows.setdefault(start_s, []).extend(toks)
+        words = []
+        for start_s, window in windows.items():
             if not window:
                 continue
-            i = int(round(seg["start"] / chunk_seconds))
-            chunk = audio[..., i * chunk_samples:(i + 1) * chunk_samples]
+            s0 = int(round(start_s * sample_rate))
+            chunk = audio[..., s0:s0 + chunk_samples]
             mel = self.features(chunk, pad_to=chunk_samples)
             enc = self.encode(params, mel)
             n_frames = min(max(chunk.shape[-1] // 320, 1), enc.shape[1])
             seq = prefix + window + [eos_id]
             ws = word_timestamps(self.decoder, dec_params, seq, enc,
                                  group_fn, n_prefix=len(prefix),
-                                 n_text=len(window), n_frames=n_frames)
-            off = seg["start"]
+                                 n_text=len(window), n_frames=n_frames,
+                                 alignment_heads=alignment_heads)
+            off = start_s
             for w in ws:
                 w.start += off
                 w.end += off

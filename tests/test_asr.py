@@ -136,3 +136,32 @@ def test_hf_weight_load_roundtrip(asr):
     with torch.no_grad():
         ref = hf.encoder(torch.from_numpy(mel)).last_hidden_state.numpy()
     np.testing.assert_allclose(ours, ref, atol=2e-5, rtol=1e-4)
+
+
+def test_transcribe_word_times_with_timestamp_rules(asr, rng):
+    """word_times + timestamp grammar: alignment runs on TEXT tokens only,
+    grouped per decode window (seek origins), with absolute offsets."""
+    from mocov2_whisper_flamingo_tpu.decode.logit_rules import LogitRules
+
+    model, params = asr
+    rules = LogitRules(vocab_size=TINY.vocab_size, timestamp_begin=40,
+                       no_timestamps_id=39, eos_id=EOS,
+                       max_initial_timestamp_index=2)
+    wav = rng.standard_normal(
+        int(1.4 * CHUNK_SECONDS * 16000)).astype(np.float32)
+
+    def group_fn(text):
+        assert all(t < 40 for t in text)  # timestamps stripped
+        return [(f"t{int(t)}", 1) for t in text]
+
+    out = model.transcribe(
+        params, wav, PREFIX, beam_size=2, best_of=2, max_len=12,
+        eos_id=EOS, chunk_seconds=CHUNK_SECONDS, temperatures=(0.0,),
+        logprob_threshold=None, compression_ratio_threshold=None,
+        logit_rules=rules, word_times=True, group_fn=group_fn)
+    assert all(t < 40 for t in out["tokens"])
+    assert all("seek" in s for s in out["segments"])
+    if out["words"]:
+        assert [w.tokens[0] for w in out["words"]] == out["tokens"]
+        assert all(w.end <= len(wav) / 16000 + CHUNK_SECONDS
+                   for w in out["words"])
