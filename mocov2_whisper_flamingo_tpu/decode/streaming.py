@@ -97,10 +97,15 @@ class StreamingDecoder:
                  eos_id: int = 0, max_tokens_per_chunk: int = 64,
                  beam_size: int = 1, length_penalty: float = 1.0,
                  rollover: bool = True, context_tokens: int = 0,
-                 sot_prev_id: int | None = None, logit_rules=None):
+                 sot_prev_id: int | None = None, logit_rules=None,
+                 initial_context: list[int] | None = None):
         self.decoder = decoder
         self.params = params
         self.prefix_ids = [int(t) for t in prefix_ids]
+        # Conditioning prompt (openai ``initial_prompt``): decoded against
+        # but never committed; survives rollovers at the front of the
+        # context pool. ``sot_prev_id`` is prepended automatically.
+        self.initial_context = [int(t) for t in (initial_context or [])]
         self.max_len = max_len
         self.eos_id = eos_id
         self.max_tokens_per_chunk = max_tokens_per_chunk
@@ -122,12 +127,18 @@ class StreamingDecoder:
         # prefix length) device triples — the sync-free rollover path.
         self._stash: list[tuple] = []
         # The current window's forced prefix (context + prefix after a
-        # rollover; the bare prefix for window 0).
-        self._window_prefix = list(self.prefix_ids)
+        # rollover; initial_context + prefix for window 0).
+        self._window_prefix = self._context_prefix(self.initial_context)
         self._state = None  # (self_caches, tokens_buf [K, L], i) on device
         # Host-side conservative bound on the device position ``i`` — lets
         # the rollover decision run WITHOUT a device sync per chunk.
-        self._i_bound = len(self.prefix_ids) - 1
+        self._i_bound = len(self._window_prefix) - 1
+
+    def _context_prefix(self, ctx: list[int]) -> list[int]:
+        """sot_prev + context + prefix (the window's forced tokens)."""
+        if ctx and self.sot_prev_id is not None:
+            ctx = [self.sot_prev_id] + ctx
+        return list(ctx) + list(self.prefix_ids)
 
     # -- compiled chunk step -------------------------------------------------
 
@@ -305,14 +316,15 @@ class StreamingDecoder:
             self._committed = self._committed + self._window_generation()
             pool = [t for t in self._committed[len(self.prefix_ids):]
                     if t != self.eos_id]
-            ctx = pool[-self.context_tokens:]
-            if self.sot_prev_id is not None and ctx:
-                ctx = [self.sot_prev_id] + ctx
-            self._window_prefix = ctx + list(self.prefix_ids)
+            # initial_context stays at the front of the pool (openai keeps
+            # initial_prompt ahead of the rolling transcript context)
+            ctx = (self.initial_context + pool)[
+                -max(self.context_tokens, len(self.initial_context)):]
+            self._window_prefix = self._context_prefix(ctx)
             self.tokens = list(self._committed)
         else:
             self._stash.append((tokens[0], i_new, len(self._window_prefix)))
-            self._window_prefix = list(self.prefix_ids)
+            self._window_prefix = self._context_prefix(self.initial_context)
         self._state = None
         self._i_bound = len(self._window_prefix) - 1
 
@@ -385,6 +397,7 @@ def transcribe_long_form(
     rollover: bool = True,
     context_tokens: int = 0,
     sot_prev_id: int | None = None,
+    initial_prompt_ids=None,
     logit_rules=None,
     temperatures=None,
     best_of: int = 5,
@@ -465,6 +478,12 @@ def transcribe_long_form(
 
         key = key if key is not None else jax.random.PRNGKey(0)
         prefix = [int(t) for t in prefix_ids]
+        # openai ``initial_prompt``: conditioning text that precedes the
+        # committed transcript in every window's context pool (it survives
+        # even when the transcript is empty; with ``context_tokens == 0``
+        # it still conditions every window, like openai with
+        # condition_on_previous_text=False).
+        prompt0 = [int(t) for t in (initial_prompt_ids or [])]
         committed: list[int] = []
         segments: list[dict] = []
         probe_ns = no_speech_threshold is not None and no_speech_id is not None
@@ -482,8 +501,10 @@ def transcribe_long_form(
         max_windows = n_chunks * 10 + 10
         while (seek < duration - 1e-9 and window_index < max_windows) \
                 if ts0 is not None else window_index < n_chunks:
-            ctx = [t for t in committed if t != eos_id][-context_tokens:] \
+            pool = [t for t in committed if t != eos_id] \
                 if context_tokens > 0 else []
+            ctx = (prompt0 + pool)[-max(context_tokens, len(prompt0)):] \
+                if (prompt0 or pool) else []
             if ctx and sot_prev_id is not None:
                 ctx = [sot_prev_id] + ctx
             window_prefix = ctx + prefix
@@ -554,7 +575,8 @@ def transcribe_long_form(
         max_tokens_per_chunk=max_tokens_per_chunk, beam_size=beam_size,
         length_penalty=length_penalty, rollover=rollover,
         context_tokens=context_tokens, sot_prev_id=sot_prev_id,
-        logit_rules=logit_rules)
+        logit_rules=logit_rules,
+        initial_context=[int(t) for t in (initial_prompt_ids or [])] or None)
     out: list[int] = []
     segments = []
     for i in range(n_chunks):

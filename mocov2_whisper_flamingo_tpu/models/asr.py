@@ -140,6 +140,8 @@ class WhisperASR:
         condition_on_previous_text: bool = True,
         context_tokens: int = 128,
         sot_prev_id: int | None = None,
+        initial_prompt: str | None = None,
+        initial_prompt_ids: Sequence[int] | None = None,
         logit_rules=None,
         word_times: bool = False,
         group_fn=None,
@@ -173,6 +175,14 @@ class WhisperASR:
 
         dec_params = self._cast_decoder_params(params)
         text_fn = (lambda ids: tokenizer.decode(ids)) if tokenizer else None
+        if initial_prompt is not None:
+            if initial_prompt_ids is not None:
+                raise ValueError(
+                    "pass initial_prompt OR initial_prompt_ids, not both")
+            if tokenizer is None:
+                raise ValueError("initial_prompt (text) needs a tokenizer")
+            initial_prompt_ids = tokenizer.encode(
+                " " + initial_prompt.strip(), add_special_tokens=False)
         tokens, segments = transcribe_long_form(
             self.encoder, self.decoder, params["encoder"], dec_params,
             audio, prefix_ids, eos_id=eos_id, chunk_seconds=chunk_seconds,
@@ -180,7 +190,8 @@ class WhisperASR:
             max_tokens_per_chunk=max_tokens_per_chunk, beam_size=beam_size,
             length_penalty=length_penalty, logit_rules=logit_rules,
             context_tokens=context_tokens if condition_on_previous_text else 0,
-            sot_prev_id=sot_prev_id, temperatures=temperatures,
+            sot_prev_id=sot_prev_id, initial_prompt_ids=initial_prompt_ids,
+            temperatures=temperatures,
             best_of=best_of, logprob_threshold=logprob_threshold,
             compression_ratio_threshold=compression_ratio_threshold,
             no_speech_threshold=no_speech_threshold,

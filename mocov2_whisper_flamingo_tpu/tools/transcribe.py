@@ -82,6 +82,9 @@ def main(argv=None) -> int:
     parser.add_argument("--temperature", type=float, nargs="*",
                         default=(0.0, 0.2, 0.4, 0.6, 0.8, 1.0))
     parser.add_argument("--word-timestamps", action="store_true")
+    parser.add_argument("--initial-prompt", default=None,
+                        help="conditioning text for the first window "
+                             "(openai --initial_prompt)")
     parser.add_argument(
         "--generation-config", default=None,
         help="path to an HF generation_config.json: applies its suppress/"
@@ -145,6 +148,7 @@ def main(argv=None) -> int:
             chunk_seconds=args.chunk_seconds,
             temperatures=None if args.streaming else tuple(args.temperature),
             logit_rules=logit_rules,
+            initial_prompt=args.initial_prompt,
             word_times=args.word_timestamps,
             group_fn=default_group_fn(tokenizer)
             if args.word_timestamps else None)

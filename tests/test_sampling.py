@@ -283,3 +283,69 @@ def test_fallback_beam_avg_matches_oracle(setup):
     for e in range(enc_out.shape[0]):
         total, n_scored = _oracle_score(dec, params, enc_out[e], r.sequences[e])
         np.testing.assert_allclose(r.avg_logprob[e], total / n_scored, rtol=2e-4)
+
+
+def test_initial_prompt_conditions_quality_windows(setup, monkeypatch):
+    """openai initial_prompt: the prompt precedes the prefix in EVERY
+    window's forced context (first window included, transcript empty),
+    behind sot_prev, and never enters the committed output."""
+    from mocov2_whisper_flamingo_tpu.decode import sampling as sampling_mod
+    from mocov2_whisper_flamingo_tpu.decode.streaming import (
+        transcribe_long_form)
+    from mocov2_whisper_flamingo_tpu.models.whisper import WhisperEncoder
+
+    dec, params, _ = setup
+    enc = WhisperEncoder(CFG)
+    enc_params = enc.init(jax.random.PRNGKey(1))
+    chunk_seconds = CFG.max_source_positions * 2 * 160 / 16000
+    audio = np.random.default_rng(2).standard_normal(
+        int(2.2 * chunk_seconds * 16000)).astype(np.float32)
+
+    def mel_fn(wav):
+        t = CFG.max_source_positions * 2
+        n = min(wav.shape[-1] // 160, t)
+        m = jnp.zeros((80, t))
+        return m.at[:, :n].set(jnp.resize(wav[: 80 * n], (80, n)))
+
+    seen_prefixes = []
+    real = sampling_mod.decode_with_fallback
+
+    def spy(decoder, dparams, enc_out, window_prefix, **kw):
+        seen_prefixes.append(list(window_prefix))
+        return real(decoder, dparams, enc_out, window_prefix, **kw)
+
+    monkeypatch.setattr(sampling_mod, "decode_with_fallback", spy)
+    prompt = [30, 31, 32]
+    tokens = transcribe_long_form(
+        enc, dec, enc_params, params, audio, PREFIX, eos_id=EOS,
+        chunk_seconds=chunk_seconds, max_len=MAX_LEN, mel_fn=mel_fn,
+        beam_size=2, best_of=2, temperatures=(0.0,),
+        logprob_threshold=None, compression_ratio_threshold=None,
+        context_tokens=4, sot_prev_id=9, initial_prompt_ids=prompt)
+    assert len(seen_prefixes) == 3
+    # window 0: sot_prev + prompt + prefix
+    assert seen_prefixes[0] == [9] + prompt + PREFIX
+    # later windows: prompt stays at the FRONT of the context pool
+    for wp in seen_prefixes[1:]:
+        assert wp[0] == 9 and wp[-2:] == PREFIX
+        ctx = wp[1:-2]
+        assert len(ctx) >= len(prompt)
+    assert isinstance(tokens, list)
+
+
+def test_initial_prompt_streaming_not_committed(setup):
+    """Streaming mode: initial_context is decoded against but excluded
+    from the committed transcript (and survives a context_tokens=0 reset)."""
+    from mocov2_whisper_flamingo_tpu.decode.streaming import StreamingDecoder
+
+    dec, params, enc_out = setup
+    stream = StreamingDecoder(
+        dec, params, PREFIX, max_len=14, eos_id=EOS,
+        max_tokens_per_chunk=4, beam_size=2, sot_prev_id=9,
+        initial_context=[30, 31])
+    assert stream._window_prefix == [9, 30, 31] + PREFIX
+    new = stream.process_chunk(enc_out[:1])
+    assert len(new) <= 4
+    got = stream.collected_tokens()
+    assert got[: len(PREFIX)] == PREFIX  # context is NOT in the transcript
+    assert len(got) == len(PREFIX) + len(new)
