@@ -135,10 +135,14 @@ class StreamingDecoder:
         self._i_bound = len(self._window_prefix) - 1
 
     def _context_prefix(self, ctx: list[int]) -> list[int]:
-        """sot_prev + context + prefix (the window's forced tokens)."""
+        """sot_prev + context + prefix (the window's forced tokens). The
+        context is clamped to half the token budget (openai's prompt
+        clamp) so every window keeps room to generate."""
+        budget = self.max_len // 2 - len(self.prefix_ids) - 1
+        ctx = list(ctx)[-budget:] if budget > 0 else []
         if ctx and self.sot_prev_id is not None:
             ctx = [self.sot_prev_id] + ctx
-        return list(ctx) + list(self.prefix_ids)
+        return ctx + list(self.prefix_ids)
 
     # -- compiled chunk step -------------------------------------------------
 
@@ -505,6 +509,10 @@ def transcribe_long_form(
                 if context_tokens > 0 else []
             ctx = (prompt0 + pool)[-max(context_tokens, len(prompt0)):] \
                 if (prompt0 or pool) else []
+            # openai clamps the prompt to half the context budget: the
+            # forced tokens must leave room to generate under max_len.
+            ctx_budget = max_len // 2 - len(prefix) - 1
+            ctx = ctx[-ctx_budget:] if ctx_budget > 0 else []
             if ctx and sot_prev_id is not None:
                 ctx = [sot_prev_id] + ctx
             window_prefix = ctx + prefix
