@@ -158,3 +158,29 @@ def test_quality_mode_without_rules_unchanged():
     assert segments[0]["end"] == pytest.approx(chunk_seconds)
     assert segments[1]["end"] == pytest.approx(len(audio) / 16000)
     assert [t for s in segments for t in s["tokens"]] == tokens
+
+
+def test_segments_partition_property_random_streams():
+    """Random token streams: segment tokens always form a clean prefix
+    partition of the window tokens (the dropped tail is exactly
+    tokens[last_slice:]), times are nonnegative and ordered, and the
+    advance is positive."""
+    rng = np.random.default_rng(3)
+    for _ in range(300):
+        n = int(rng.integers(0, 24))
+        # grammar-legal streams: timestamps nondecreasing (the logit rules
+        # enforce this during decoding — the parser may assume it)
+        ts_vals = np.sort(rng.integers(0, 40, n))
+        toks = [int(ts(ts_vals[i])) if rng.random() < 0.45 else
+                int(rng.choice([5, 6, 7])) for i in range(n)]
+        segs, adv = segments_from_window(toks, TS0, 4.0, 30.0)
+        assert adv > 0
+        flat = [t for s in segs for t in s["tokens"]]
+        # flat is a prefix of toks: either everything (no pairs / lone
+        # ending) or everything up to the dropped tail
+        assert flat == toks[: len(flat)]
+        for s in segs:
+            assert s["start"] >= 4.0 and s["end"] >= s["start"] - 1e-9 \
+                or s["tokens"]  # zero-length segments allowed at equal ts
+        starts = [s["start"] for s in segs]
+        assert starts == sorted(starts)
