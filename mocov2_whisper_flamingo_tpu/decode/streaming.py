@@ -505,10 +505,20 @@ def transcribe_long_form(
         max_windows = n_chunks * 10 + 10
         while (seek < duration - 1e-9 and window_index < max_windows) \
                 if ts0 is not None else window_index < n_chunks:
-            pool = [t for t in committed if t != eos_id] \
+            pool = [t for t in committed if t != eos_id][-context_tokens:] \
                 if context_tokens > 0 else []
-            ctx = (prompt0 + pool)[-max(context_tokens, len(prompt0)):] \
-                if (prompt0 or pool) else []
+            # Quantize the transcript-context length to a power of two
+            # (truncating the oldest tokens): decode_with_fallback compiles
+            # one program per (prefix length, temperature), and remote TPU
+            # compiles cost 30 s-10 min — this bounds the compile count to
+            # a log set while changing only how much conditioning text the
+            # window sees. The initial prompt is static, so it stays whole.
+            if pool:
+                b = 1
+                while b * 2 <= len(pool):
+                    b *= 2
+                pool = pool[-b:]
+            ctx = prompt0 + pool
             # openai clamps the prompt to half the context budget: the
             # forced tokens must leave room to generate under max_len.
             ctx_budget = max_len // 2 - len(prefix) - 1

@@ -325,11 +325,15 @@ def test_initial_prompt_conditions_quality_windows(setup, monkeypatch):
     assert len(seen_prefixes) == 3
     # window 0: sot_prev + prompt + prefix
     assert seen_prefixes[0] == [9] + prompt + PREFIX
-    # later windows: prompt stays at the FRONT of the context pool
+    # later windows: prompt stays at the FRONT of the context pool, and the
+    # transcript-context length is quantized to a power of two (bounds the
+    # per-(prefix length, temperature) compile count)
     for wp in seen_prefixes[1:]:
         assert wp[0] == 9 and wp[-2:] == PREFIX
         ctx = wp[1:-2]
         assert len(ctx) >= len(prompt)
+        pool_len = len(ctx) - len(prompt)
+        assert pool_len == 0 or (pool_len & (pool_len - 1)) == 0
     assert isinstance(tokens, list)
 
 
