@@ -206,6 +206,7 @@ class FallbackResult:
     avg_logprob: np.ndarray    # [B]
     temperature: np.ndarray    # [B] temperature that produced each row
     gates_passed: np.ndarray   # [B] bool — False = last rung still failing
+    compression_ratio: np.ndarray | None = None  # [B] of the winning rows
     no_speech_prob: np.ndarray | None = None  # [B] when probed (see below)
 
 
@@ -265,6 +266,7 @@ def decode_with_fallback(
     best_seq = np.full((b, max_len), eos_id, np.int32)
     best_avg = np.full((b,), -np.inf, np.float64)
     best_temp = np.zeros((b,), np.float64)
+    best_cr = np.zeros((b,), np.float64)
     frozen = np.zeros((b,), bool)
 
     ns_prob = None
@@ -307,7 +309,9 @@ def decode_with_fallback(
             if frozen[e]:
                 continue
             best_seq[e], best_avg[e], best_temp[e] = seq[e], avg[e], t
-            if not needs_fallback(avg[e], to_text(seq[e]),
+            text = to_text(seq[e])
+            best_cr[e] = compression_ratio(text)
+            if not needs_fallback(avg[e], text,
                                   logprob_threshold,
                                   compression_ratio_threshold):
                 frozen[e] = True
@@ -316,4 +320,4 @@ def decode_with_fallback(
 
     return FallbackResult(sequences=best_seq, avg_logprob=best_avg,
                           temperature=best_temp, gates_passed=frozen.copy(),
-                          no_speech_prob=ns_prob)
+                          compression_ratio=best_cr, no_speech_prob=ns_prob)

@@ -562,6 +562,7 @@ def transcribe_long_form(
                 row.pop()
             diag = {"temperature": float(r.temperature[0]),
                     "avg_logprob": float(r.avg_logprob[0]),
+                    "compression_ratio": float(r.compression_ratio[0]),
                     "gates_passed": bool(r.gates_passed[0])}
             if probe_ns:
                 diag["no_speech_prob"] = float(r.no_speech_prob[0])

@@ -353,3 +353,19 @@ def test_initial_prompt_streaming_not_committed(setup):
     got = stream.collected_tokens()
     assert got[: len(PREFIX)] == PREFIX  # context is NOT in the transcript
     assert len(got) == len(PREFIX) + len(new)
+
+
+def test_fallback_reports_compression_ratio(setup):
+    dec, params, enc_out = setup
+    r = decode_with_fallback(
+        dec, params, enc_out, PREFIX, key=jax.random.PRNGKey(0),
+        beam_size=2, best_of=2, max_len=MAX_LEN, eos_id=EOS,
+        logprob_threshold=None, compression_ratio_threshold=None)
+    assert r.compression_ratio is not None and r.compression_ratio.shape == (2,)
+    # oracle: ratio of the winning row's text bytes
+    for e in range(2):
+        ids = [int(x) for x in r.sequences[e][len(PREFIX):]]
+        while ids and ids[-1] == EOS:
+            ids.pop()
+        ref = compression_ratio(np.asarray(ids, np.int32).tobytes())
+        assert r.compression_ratio[e] == pytest.approx(ref)
