@@ -113,3 +113,37 @@ def test_per_host_batch_sharding_rejects_indivisible():
     assert sh["x"].spec == jax.sharding.PartitionSpec("data")
     with pytest.raises(ValueError, match="does not divide"):
         batch_sharding(mesh, {"x": np.zeros((3, 2))}, per_host=True)
+
+
+def test_beam_search_tensor_parallel(rng):
+    """Serving-style TP: decoder weights sharded over the model axis
+    (Megatron column/row rules) on a dp=4 x tp=2 mesh — beam decode must
+    reproduce the single-device tokens (psum partial-sum order shifts
+    logits by float noise well under the toy decoder's logit gaps)."""
+    import jax.numpy as jnp
+
+    from mocov2_whisper_flamingo_tpu.decode import beam_search
+    from mocov2_whisper_flamingo_tpu.models.whisper import (
+        WhisperConfig, WhisperDecoder)
+    from mocov2_whisper_flamingo_tpu.parallel.mesh import param_sharding
+
+    cfg = WhisperConfig(n_mels=80, d_model=32, encoder_layers=1,
+                        decoder_layers=2, n_heads=4, d_ff=64, vocab_size=40,
+                        max_source_positions=16, max_target_positions=16)
+    dec = WhisperDecoder(cfg)
+    params = dec.init(jax.random.PRNGKey(0))
+
+    mesh = make_mesh(n_data=4, n_model=2)
+    enc_out = jnp.asarray(rng.standard_normal((4, 16, 32)).astype(np.float32))
+    enc_sharded = jax.device_put(enc_out, jax.NamedSharding(mesh, P("data")))
+    p_tp = jax.device_put(params, param_sharding(mesh, params))
+    # the TP rules must actually shard something on the model axis
+    shardings = jax.tree.leaves(param_sharding(mesh, params))
+    assert any("model" in str(s.spec) for s in shardings)
+
+    f = jax.jit(lambda p, e: beam_search(dec, p, e, [1, 2], beam_size=3,
+                                         max_len=10, eos_id=3).sequences)
+    with mesh:
+        sharded = np.asarray(f(p_tp, enc_sharded))
+    single = np.asarray(f(params, enc_out))
+    np.testing.assert_array_equal(sharded, single)
