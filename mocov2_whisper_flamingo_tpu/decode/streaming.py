@@ -318,8 +318,13 @@ class StreamingDecoder:
         if self.context_tokens > 0:
             self._drain_stash()
             self._committed = self._committed + self._window_generation()
+            # context is TEXT only: drop eos and (with the timestamp
+            # grammar active) timestamp tokens — openai prompts never
+            # carry timestamps
+            ts0 = getattr(self.logit_rules, "timestamp_begin", None) \
+                if self.logit_rules is not None else None
             pool = [t for t in self._committed[len(self.prefix_ids):]
-                    if t != self.eos_id]
+                    if t != self.eos_id and (ts0 is None or t < ts0)]
             # initial_context stays at the front of the pool (openai keeps
             # initial_prompt ahead of the rolling transcript context)
             ctx = (self.initial_context + pool)[
