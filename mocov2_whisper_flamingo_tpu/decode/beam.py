@@ -100,6 +100,7 @@ def beam_search(
     early_stopping: bool = False,
     use_ancestry: bool = True,
     logit_rules=None,
+    renorm_after_rules: bool = False,
     cache_quant: str | None = None,
 ) -> BeamResult:
     """Batched beam search; returns the K best finished hypotheses per
@@ -115,7 +116,16 @@ def beam_search(
     ``logit_rules``: optional ``decode.logit_rules.LogitRules`` — HF-default
     Whisper decode semantics (suppress/begin-suppress/forced tokens,
     timestamp grammar), applied to the log-softmaxed scores each step
-    exactly where HF's logits processors run in its beam loop.
+    exactly where HF's logits processors run in its beam loop. HF never
+    renormalizes after its processors, so accumulated scores are deflated
+    wherever a rule masked probability mass; ``renorm_after_rules=True``
+    re-log_softmaxes after the rules instead (openai's convention — its
+    decoder applies logit filters to raw logits and normalizes AFTER), so
+    scores are true logprobs over the allowed set. The per-row shift can
+    change cross-beam ranking where rules masked different mass per beam —
+    that IS openai's beam semantics; keep the default for HF token-exact
+    parity, use True when scores feed quality gates
+    (decode_with_fallback).
 
     ``cache_quant="int8"``: int8 KV caches with folded scales
     (models/whisper.py ``init_cache``) — halves per-step cache HBM traffic
@@ -172,6 +182,8 @@ def beam_search(
         if logit_rules is not None:
             logp = logit_rules(logp, run_tokens.reshape(b * k, max_len),
                                i + 1, n_prefix)
+            if renorm_after_rules:
+                logp = jax.nn.log_softmax(logp, axis=-1)
         # Two-stage expansion: per-beam top-2K over the vocab, then top-2K
         # over the K*2K union. Every global top-2K candidate is inside its
         # own beam's top-2K, so this is exact — and it avoids flattening

@@ -261,6 +261,9 @@ def decode_with_fallback(
     and returns it on the result; the fallback ladder itself ignores it
     (openai's skip decision lives in the ``transcribe`` window loop).
     """
+    temperatures = tuple(temperatures)
+    if not temperatures:
+        raise ValueError("temperatures must be non-empty")
     n_prefix = len(list(prefix_ids))
     b = encoder_out.shape[0]
     best_seq = np.full((b, max_len), eos_id, np.int32)
@@ -286,11 +289,17 @@ def decode_with_fallback(
 
     for t in temperatures:
         if t == 0.0:
+            # renorm_after_rules: score on openai's convention (true
+            # logprobs over the rule-allowed set) so the t=0 rung's
+            # avg_logprob sits on the same scale as the sampled rungs and
+            # the logprob gate — HF's no-renorm convention deflates scores
+            # at grammar-constrained steps (forced timestamps etc.).
             r = beam_search(decoder, params, encoder_out, prefix_ids,
                             beam_size=beam_size, max_len=max_len,
                             eos_id=eos_id, length_penalty=length_penalty,
                             encoder_valid=encoder_valid,
-                            logit_rules=logit_rules)
+                            logit_rules=logit_rules,
+                            renorm_after_rules=True)
             seq = np.asarray(r.sequences[:, 0])
             avg = _beam_avg_logprob(seq, np.asarray(r.scores[:, 0]),
                                     n_prefix, eos_id, length_penalty)

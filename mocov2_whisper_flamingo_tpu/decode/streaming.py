@@ -47,12 +47,16 @@ TPU design (v2 — replaces the round-1 host-driven per-token loop):
 
 from __future__ import annotations
 
+import logging
+
 import jax
 import jax.numpy as jnp
 import numpy as np
 
 from mocov2_whisper_flamingo_tpu.decode.beam import NEG_INF
 from mocov2_whisper_flamingo_tpu.models import layers as L
+
+logger = logging.getLogger(__name__)
 
 
 def _cross_caches(decoder, params, encoder_out):
@@ -103,8 +107,11 @@ class StreamingDecoder:
         self.params = params
         self.prefix_ids = [int(t) for t in prefix_ids]
         # Conditioning prompt (openai ``initial_prompt``): decoded against
-        # but never committed; survives rollovers at the front of the
-        # context pool. ``sot_prev_id`` is prepended automatically.
+        # but never committed. It sits at the FRONT of each rollover's
+        # context pool, so — exactly like openai's tail-clamped prompt —
+        # it conditions windows until the transcript context fills the
+        # budget, then falls out. ``sot_prev_id`` is prepended
+        # automatically.
         self.initial_context = [int(t) for t in (initial_context or [])]
         self.max_len = max_len
         self.eos_id = eos_id
@@ -325,8 +332,10 @@ class StreamingDecoder:
                 if self.logit_rules is not None else None
             pool = [t for t in self._committed[len(self.prefix_ids):]
                     if t != self.eos_id and (ts0 is None or t < ts0)]
-            # initial_context stays at the front of the pool (openai keeps
-            # initial_prompt ahead of the rolling transcript context)
+            # initial_context ahead of the rolling transcript, tail-clamped
+            # (openai prompt semantics: the initial prompt conditions
+            # windows until the transcript context fills the budget, then
+            # drops out of the tail slice)
             ctx = (self.initial_context + pool)[
                 -max(self.context_tokens, len(self.initial_context)):]
             self._window_prefix = self._context_prefix(ctx)
@@ -487,10 +496,11 @@ def transcribe_long_form(
 
         key = key if key is not None else jax.random.PRNGKey(0)
         prefix = [int(t) for t in prefix_ids]
-        # openai ``initial_prompt``: conditioning text that precedes the
-        # committed transcript in every window's context pool (it survives
-        # even when the transcript is empty; with ``context_tokens == 0``
-        # it still conditions every window, like openai with
+        # openai ``initial_prompt``: conditioning text ahead of the
+        # committed transcript in the context pool. Like openai's
+        # tail-clamped prompt it conditions windows until the transcript
+        # context fills the budget, then falls out of the tail slice; with
+        # ``context_tokens == 0`` it conditions every window (openai with
         # condition_on_previous_text=False).
         prompt0 = [int(t) for t in (initial_prompt_ids or [])]
         committed: list[int] = []
@@ -504,14 +514,19 @@ def transcribe_long_form(
             if logit_rules is not None else None
         seek = 0.0
         window_index = 0
+        # Conditioning reset (openai prompt_reset_since): a window that had
+        # to escalate past t=0.5 likely committed unreliable text — stop
+        # feeding it forward so a hallucination loop cannot propagate.
+        reset_since = 0
         # Safety bound for the seek loop (a pathological model could emit
-        # tiny advances forever; openai has no guard — we cap at 10x the
-        # fixed-stride window count and fall back to full-window strides).
+        # tiny advances forever; openai has no guard): past 10x the
+        # fixed-stride window count, degrade to full-window strides, which
+        # bounds total windows at ~11x n_chunks.
         max_windows = n_chunks * 10 + 10
-        while (seek < duration - 1e-9 and window_index < max_windows) \
-                if ts0 is not None else window_index < n_chunks:
-            pool = [t for t in committed if t != eos_id][-context_tokens:] \
-                if context_tokens > 0 else []
+        while (seek < duration - 1e-9) if ts0 is not None \
+                else window_index < n_chunks:
+            pool = [t for t in committed[reset_since:] if t != eos_id] \
+                [-context_tokens:] if context_tokens > 0 else []
             # Quantize the transcript-context length to a power of two
             # (truncating the oldest tokens): decode_with_fallback compiles
             # one program per (prefix length, temperature), and remote TPU
@@ -585,13 +600,22 @@ def transcribe_long_form(
                     # all_tokens < tokenizer.eot); segments keep the
                     # timestamps
                     committed.extend(strip_timestamps(s["tokens"], ts0))
-                seek += max(advance, TIME_PRECISION)
+                advance = max(advance, TIME_PRECISION)
+                if window_index >= max_windows:
+                    logger.warning(
+                        "timestamp seek exceeded %d windows at %.2f s — "
+                        "degrading to full-window strides", max_windows,
+                        seek)
+                    advance = max(advance, chunk_seconds)
+                seek += advance
             else:
                 start, end = window_bounds(window_index - 1)
                 segments.append({"id": len(segments), "start": start,
                                  "end": end, "seek": start, "tokens": row,
                                  **diag})
                 committed.extend(row)
+            if float(r.temperature[0]) > 0.5:
+                reset_since = len(committed)
         return (committed, segments) if return_segments else committed
 
     stream = StreamingDecoder(

@@ -16,8 +16,10 @@ pipeline:
    that leaves the device);
 2. select alignment heads (a model-specific ``(layer, head)`` list when
    known, else openai's fallback: all heads of the top half of layers);
-3. per head: z-normalize over the time axis, median-filter along time
-   (width 7), average heads -> one [Ttok, Tenc] alignment matrix;
+3. per head: crop to the real-audio frames, z-normalize over the TOKEN
+   axis (per-frame-column statistics, openai ``std_mean(dim=-2)``),
+   median-filter along time (width 7), average heads -> one
+   [Ttok, Tenc] alignment matrix, sliced to the text rows;
 4. monotonic DTW over ``-matrix`` (moves: down, right, diagonal) on the
    host — the matrix is tiny (<=448 x 1500) and the DP is inherently
    sequential, so numpy is the right tool, not the MXU;
@@ -132,16 +134,22 @@ def alignment_matrix(
     alignment_heads: list[tuple[int, int]] | None = None,
     medfilt_width: int = 7,
     example: int = 0,
+    n_frames: int | None = None,
 ) -> np.ndarray:
-    """[L, B, H, Ttok, Tenc] cross-attention stack -> [Ttok, Tenc]
-    alignment matrix: pick heads, z-normalize each head over the time
-    axis, median-filter along time, average heads (openai timing.py)."""
+    """[L, B, H, Ttok, Tenc] cross-attention stack -> [Ttok, Tenc']
+    alignment matrix, openai timing.py ``find_alignment`` order: pick
+    heads, CROP to the ``n_frames`` that carry real audio (before any
+    statistics — padded frames must not contaminate them), z-normalize
+    each head over the TOKEN axis (``std_mean(dim=-2)``: per-frame-column
+    statistics, population std), median-filter along time, average heads."""
     w = np.asarray(cross_weights, dtype=np.float64)
     n_layers, _, n_heads = w.shape[:3]
     heads = alignment_heads or default_alignment_heads(n_layers, n_heads)
     sel = np.stack([w[l, example, h] for l, h in heads])  # [A, Ttok, Tenc]
-    std = sel.std(axis=-1, keepdims=True)
-    sel = (sel - sel.mean(axis=-1, keepdims=True)) / np.maximum(std, 1e-10)
+    if n_frames is not None:
+        sel = sel[:, :, :n_frames]
+    std = sel.std(axis=-2, keepdims=True)
+    sel = (sel - sel.mean(axis=-2, keepdims=True)) / np.maximum(std, 1e-10)
     sel = median_filter(sel, medfilt_width)
     return sel.mean(axis=0)
 
@@ -155,22 +163,27 @@ def token_timestamps(
     alignment_heads: list[tuple[int, int]] | None = None,
     medfilt_width: int = 7,
     encoder_valid: jnp.ndarray | None = None,
+    n_prefix: int = 0,
+    n_drop_last: int = 0,
 ) -> tuple[np.ndarray, np.ndarray]:
     """Per-token (start, end) times in seconds for ONE example.
 
     ``tokens``: the full decoded sequence (prefix + text + EOS) as a flat
     int list/array; ``encoder_out``: [1, Tenc, D]. ``n_frames`` restricts
-    the alignment to the leading frames that carry real audio (openai masks
-    frames past the segment before the DTW). Returns (starts, ends), each
-    [len(tokens)] — prefix/EOS rows get the times the DTW assigns them;
-    callers slice out the text range."""
+    the alignment to the leading frames that carry real audio (cropped
+    BEFORE the normalization statistics, openai order). The DTW runs over
+    ``tokens[n_prefix : len - n_drop_last]`` only (openai slices the
+    matrix to ``sot_sequence.. -1``: forced prefix rows and the EOT row
+    must not consume audio frames on the path). Returns (starts, ends),
+    each of length ``len(tokens) - n_prefix - n_drop_last``."""
     toks = jnp.asarray(tokens, dtype=jnp.int32)[None, :]
     _, w = decoder.apply(params, toks, encoder_out,
                          encoder_valid=encoder_valid,
                          return_cross_weights=True)
-    matrix = alignment_matrix(np.asarray(w), alignment_heads, medfilt_width)
-    if n_frames is not None:
-        matrix = matrix[:, :n_frames]
+    matrix = alignment_matrix(np.asarray(w), alignment_heads, medfilt_width,
+                              n_frames=n_frames)
+    end = matrix.shape[0] - n_drop_last
+    matrix = matrix[n_prefix:end]
     # Each row must attend somewhere: DTW over the negated alignment score.
     text_idx, time_idx = dtw(-matrix)
     n_tok = matrix.shape[0]
@@ -212,21 +225,25 @@ def word_timestamps(
     its last. A simple default for space-delimited scripts: split decoded
     pieces on leading spaces."""
     tokens = [int(t) for t in tokens]
+    text = tokens[n_prefix:] if n_text is None \
+        else tokens[n_prefix:n_prefix + n_text]
+    if not text:
+        return []
+    n_drop_last = len(tokens) - n_prefix - len(text)
     starts, ends = token_timestamps(
         decoder, params, tokens, encoder_out, n_frames=n_frames,
         alignment_heads=alignment_heads, medfilt_width=medfilt_width,
-        encoder_valid=encoder_valid)
-    text = tokens[n_prefix:] if n_text is None \
-        else tokens[n_prefix:n_prefix + n_text]
+        encoder_valid=encoder_valid, n_prefix=n_prefix,
+        n_drop_last=n_drop_last)
     out: list[WordTiming] = []
-    pos = n_prefix
+    pos = 0  # index into the text range (= into starts/ends)
     for word, count in group_fn(text):
         if count <= 0:
             continue
-        span = tokens[pos:pos + count]
+        span = text[pos:pos + count]
         out.append(WordTiming(
             word=word, start=float(starts[pos]),
-            end=float(ends[min(pos + count - 1, len(tokens) - 1)]),
+            end=float(ends[min(pos + count - 1, len(text) - 1)]),
             tokens=span))
         pos += count
     return out

@@ -80,10 +80,7 @@ class WhisperASR:
         mel = self.features(audio, pad_to=pad_to)
         enc = self.encode(params, mel)
         # Decoder params cast to the compute dtype ONCE (not per token step).
-        prec = self.precision
-        dec_params = jax.tree.map(
-            lambda x: prec.cast(x) if jnp.issubdtype(x.dtype, jnp.floating) else x,
-            params["decoder"])
+        dec_params = self._cast_decoder_params(params)
         if beam_size <= 1:
             return greedy_decode(self.decoder, dec_params, enc,
                                  prefix_ids, max_len, eos_id,

@@ -79,7 +79,7 @@ def main(argv=None) -> int:
     parser.add_argument("--streaming", action="store_true",
                         help="compiled persistent-cache path instead of the "
                              "quality window loop")
-    parser.add_argument("--temperature", type=float, nargs="*",
+    parser.add_argument("--temperature", type=float, nargs="+",
                         default=(0.0, 0.2, 0.4, 0.6, 0.8, 1.0))
     parser.add_argument("--word-timestamps", action="store_true")
     parser.add_argument("--initial-prompt", default=None,

@@ -369,3 +369,71 @@ def test_fallback_reports_compression_ratio(setup):
             ids.pop()
         ref = compression_ratio(np.asarray(ids, np.int32).tobytes())
         assert r.compression_ratio[e] == pytest.approx(ref)
+
+
+def test_fallback_rejects_empty_temperatures(setup):
+    dec, params, enc_out = setup
+    with pytest.raises(ValueError, match="non-empty"):
+        decode_with_fallback(dec, params, enc_out, PREFIX,
+                             key=jax.random.PRNGKey(0), temperatures=())
+
+
+def test_beam_renorm_after_rules_scores():
+    """renorm_after_rules=True: scores become true logprobs over the
+    rule-allowed set — never lower than the HF no-renorm convention, and
+    strictly higher when a rule masked probability mass."""
+    from mocov2_whisper_flamingo_tpu.decode.logit_rules import LogitRules
+
+    dec = WhisperDecoder(CFG)
+    params = dec.init(jax.random.PRNGKey(0))
+    enc_out = jnp.asarray(np.random.default_rng(1).standard_normal(
+        (2, 16, CFG.d_model)).astype(np.float32))
+    rules = LogitRules(vocab_size=CFG.vocab_size,
+                       suppress=tuple(range(20, 40)), eos_id=EOS)
+    kw = dict(beam_size=2, max_len=MAX_LEN, eos_id=EOS, logit_rules=rules)
+    r_hf = beam_search(dec, params, enc_out, PREFIX, **kw)
+    r_oa = beam_search(dec, params, enc_out, PREFIX,
+                       renorm_after_rules=True, **kw)
+    assert (np.asarray(r_oa.scores)[:, 0]
+            >= np.asarray(r_hf.scores)[:, 0] - 1e-5).all()
+
+
+def test_prompt_reset_after_hot_window(setup, monkeypatch):
+    """openai prompt_reset_since: a window committed from a rung hotter
+    than 0.5 stops conditioning later windows."""
+    from mocov2_whisper_flamingo_tpu.decode import sampling as sampling_mod
+    from mocov2_whisper_flamingo_tpu.decode.streaming import (
+        transcribe_long_form)
+    from mocov2_whisper_flamingo_tpu.models.whisper import WhisperEncoder
+
+    dec, params, _ = setup
+    enc = WhisperEncoder(CFG)
+    enc_params = enc.init(jax.random.PRNGKey(1))
+    chunk_seconds = CFG.max_source_positions * 2 * 160 / 16000
+    audio = np.random.default_rng(5).standard_normal(
+        int(2.5 * chunk_seconds * 16000)).astype(np.float32)
+
+    def mel_fn(wav):
+        t = CFG.max_source_positions * 2
+        n = min(wav.shape[-1] // 160, t)
+        m = jnp.zeros((80, t))
+        return m.at[:, :n].set(jnp.resize(wav[: 80 * n], (80, n)))
+
+    seen = []
+    real = sampling_mod.decode_with_fallback
+
+    def spy(decoder, dparams, enc_out, window_prefix, **kw):
+        seen.append(list(window_prefix))
+        return real(decoder, dparams, enc_out, window_prefix, **kw)
+
+    monkeypatch.setattr(sampling_mod, "decode_with_fallback", spy)
+    # gates can never pass -> every window commits from the 0.8 rung ->
+    # conditioning resets after every window
+    transcribe_long_form(
+        enc, dec, enc_params, params, audio, PREFIX, eos_id=EOS,
+        chunk_seconds=chunk_seconds, max_len=MAX_LEN, mel_fn=mel_fn,
+        beam_size=2, best_of=2, temperatures=(0.0, 0.8),
+        logprob_threshold=10.0, compression_ratio_threshold=None,
+        context_tokens=4, sot_prev_id=9)
+    assert len(seen) == 3
+    assert all(wp == PREFIX for wp in seen), seen

@@ -115,15 +115,27 @@ def test_alignment_matrix_shape_and_normalization():
     m = alignment_matrix(w, medfilt_width=1)
     assert m.shape == (5, 9)
     # default heads = all heads of the top half of layers (layer 1 here);
-    # with width-1 filter, rows are the mean of z-normalized head rows
+    # with width-1 filter, rows are the mean of head matrices z-normalized
+    # over the TOKEN axis (openai std_mean(dim=-2): per-frame columns)
     sel = w[1, 0]  # [H, Ttok, Tenc]
-    z = (sel - sel.mean(-1, keepdims=True)) / sel.std(-1, keepdims=True)
+    z = (sel - sel.mean(-2, keepdims=True)) / sel.std(-2, keepdims=True)
     np.testing.assert_allclose(m, z.mean(axis=0), rtol=1e-10)
     # explicit heads
     m2 = alignment_matrix(w, alignment_heads=[(0, 1)], medfilt_width=1)
     z01 = w[0, 0, 1]
-    z01 = (z01 - z01.mean(-1, keepdims=True)) / z01.std(-1, keepdims=True)
+    z01 = (z01 - z01.mean(-2, keepdims=True)) / z01.std(-2, keepdims=True)
     np.testing.assert_allclose(m2, z01, rtol=1e-10)
+    # frames are cropped BEFORE the statistics (openai order); with
+    # token-axis stats this matters through the median filter's edge
+    # padding at the crop boundary
+    m3 = alignment_matrix(w, medfilt_width=1, n_frames=6)
+    sel6 = w[1, 0, :, :, :6]
+    z6 = (sel6 - sel6.mean(-2, keepdims=True)) / sel6.std(-2, keepdims=True)
+    np.testing.assert_allclose(m3, z6.mean(axis=0), rtol=1e-10)
+    assert m3.shape == (5, 6)
+    m5 = alignment_matrix(w, medfilt_width=5, n_frames=6)
+    m5_after = alignment_matrix(w, medfilt_width=5)[:, :6]
+    assert not np.allclose(m5, m5_after)
 
 
 # -- cross-weight extraction -------------------------------------------------
@@ -188,9 +200,23 @@ def test_word_timestamps_grouping(setup):
     assert words[1].tokens == [12, 13]
     assert words[0].start <= words[0].end <= words[1].start + 1e-9 \
         or words[0].end <= words[1].end
-    starts, _ = token_timestamps(dec, params, tokens, enc_out)
-    assert words[0].start == pytest.approx(float(starts[2]))
+    # word starts come from the text-sliced DTW (prefix rows excluded from
+    # the path, openai matrix[len(sot_sequence):] slice)
+    starts, _ = token_timestamps(dec, params, tokens, enc_out, n_prefix=2)
+    assert words[0].start == pytest.approx(float(starts[0]))
     assert isinstance(words[0], WordTiming)
+
+
+def test_token_timestamps_prefix_rows_excluded(setup):
+    """n_prefix/n_drop_last slice the DTW to the text rows: result length
+    shrinks accordingly and the text path starts at frame 0."""
+    dec, params, enc_out = setup
+    tokens = [1, 2, 10, 11, 3]
+    starts, ends = token_timestamps(dec, params, tokens, enc_out,
+                                    n_prefix=2, n_drop_last=1)
+    assert starts.shape == ends.shape == (2,)
+    assert starts[0] == 0.0  # DTW paths start at (0, 0)
+    assert (ends >= starts).all()
 
 
 def test_native_dtw_matches_numpy():
