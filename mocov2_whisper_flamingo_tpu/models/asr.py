@@ -14,6 +14,7 @@ from typing import Sequence
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from mocov2_whisper_flamingo_tpu.decode.beam import BeamResult, beam_search
 from mocov2_whisper_flamingo_tpu.decode.greedy import greedy_decode
@@ -139,6 +140,8 @@ class WhisperASR:
         sot_prev_id: int | None = None,
         initial_prompt: str | None = None,
         initial_prompt_ids: Sequence[int] | None = None,
+        detect_language_ids: Sequence[int] | None = None,
+        language_slot: int = 1,
         logit_rules=None,
         word_times: bool = False,
         group_fn=None,
@@ -172,6 +175,21 @@ class WhisperASR:
 
         dec_params = self._cast_decoder_params(params)
         text_fn = (lambda ids: tokenizer.decode(ids)) if tokenizer else None
+        prefix_ids = [int(t) for t in prefix_ids]
+        language = language_probs = None
+        if detect_language_ids is not None:
+            # openai transcribe(language=None): detect on the first 30 s
+            # and substitute the language token into the decode prefix.
+            audio_arr = jnp.asarray(audio)
+            first = audio_arr[..., : int(chunk_seconds * sample_rate)]
+            best, probs = self.detect_language(
+                params, first, prefix_ids[0], list(detect_language_ids),
+                pad_to=int(chunk_seconds * sample_rate))
+            language = int(np.asarray(best)[0])
+            language_probs = {int(t): float(p) for t, p in
+                              zip(detect_language_ids,
+                                  np.asarray(probs)[0])}
+            prefix_ids[language_slot] = language
         if initial_prompt is not None:
             if initial_prompt_ids is not None:
                 raise ValueError(
@@ -199,7 +217,8 @@ class WhisperASR:
                 seg["text"] = text_fn(seg["tokens"])
         out = {"tokens": tokens,
                "text": text_fn(tokens) if text_fn else None,
-               "segments": segments, "words": None}
+               "segments": segments, "words": None,
+               "language": language, "language_probs": language_probs}
         if word_times:
             if group_fn is None:
                 raise ValueError("word_times needs a tokenizer-aware group_fn")

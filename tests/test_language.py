@@ -62,3 +62,29 @@ def test_asr_method_end_to_end():
         pad_to=CFG.max_source_positions * 2 * 160)
     assert int(best[0]) in LANGS
     assert np.isfinite(np.asarray(probs)).all()
+
+
+def test_transcribe_auto_language_detection():
+    """transcribe(detect_language_ids=...): openai language=None behavior
+    — detect on the first window, substitute the prefix language slot,
+    report language + probs on the result."""
+    from mocov2_whisper_flamingo_tpu.models.asr import WhisperASR
+
+    model = WhisperASR(config=CFG, backend="xla")
+    params = model.init(jax.random.PRNGKey(0))
+    chunk_s = CFG.max_source_positions * 2 * 160 / 16000
+    wav = np.random.default_rng(1).standard_normal(
+        int(1.3 * chunk_s * 16000)).astype(np.float32)
+    out = model.transcribe(
+        params, wav, [SOT, 99, 5], beam_size=2, best_of=2, max_len=10,
+        eos_id=2, chunk_seconds=chunk_s, temperatures=(0.0,),
+        logprob_threshold=None, compression_ratio_threshold=None,
+        detect_language_ids=LANGS, language_slot=1)
+    assert out["language"] in LANGS
+    assert set(out["language_probs"]) == set(LANGS)
+    assert sum(out["language_probs"].values()) == pytest.approx(1.0, rel=1e-4)
+    # the detected token conditioned the decode: it must match the probe
+    best, _ = model.detect_language(
+        params, wav[: int(chunk_s * 16000)], SOT, LANGS,
+        pad_to=int(chunk_s * 16000))
+    assert out["language"] == int(best[0])
