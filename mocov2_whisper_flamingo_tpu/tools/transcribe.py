@@ -85,6 +85,12 @@ def main(argv=None) -> int:
     parser.add_argument("--initial-prompt", default=None,
                         help="conditioning text for the first window "
                              "(openai --initial_prompt)")
+    parser.add_argument("--highlight-words", action="store_true",
+                        help="srt/vtt: one cue per word with the active "
+                             "word underlined (needs --word-timestamps)")
+    parser.add_argument("--max-words-per-line", type=int, default=None,
+                        help="srt/vtt: at most N words per cue (needs "
+                             "--word-timestamps)")
     parser.add_argument(
         "--generation-config", default=None,
         help="path to an HF generation_config.json: applies its suppress/"
@@ -160,8 +166,14 @@ def main(argv=None) -> int:
             args.output_dir, os.path.splitext(os.path.basename(path))[0])
         for fmt in formats:
             out_path = f"{base}.{fmt}"
+            kw = {}
+            if fmt in ("srt", "vtt"):
+                if args.highlight_words:
+                    kw["highlight_words"] = True
+                if args.max_words_per_line:
+                    kw["max_words_per_line"] = args.max_words_per_line
             with open(out_path, "w", encoding="utf-8") as fh:
-                get_writer(fmt)(result, fh)
+                get_writer(fmt)(result, fh, **kw)
             print(f"wrote {out_path}", file=sys.stderr)
         print(result["text"])
     return 0

@@ -61,32 +61,50 @@ def _word_cues(result: dict) -> list[tuple[float, float, str]]:
     return cues
 
 
+def _line_cues(result: dict, max_words_per_line: int) \
+        -> list[tuple[float, float, str]]:
+    """One cue per run of <= max_words_per_line words (openai
+    --max_words_per_line): cue times span the run's first/last word."""
+    words = result.get("words") or []
+    cues = []
+    for i in range(0, len(words), max_words_per_line):
+        run = words[i:i + max_words_per_line]
+        cues.append((run[0].start, run[-1].end,
+                     " ".join(w.word.strip() for w in run)))
+    return cues
+
+
+def _subtitle_cues(result: dict, highlight_words: bool,
+                   max_words_per_line: int | None) \
+        -> list[tuple[float, float, str]]:
+    if highlight_words and result.get("words"):
+        return _word_cues(result)
+    if max_words_per_line and result.get("words"):
+        return _line_cues(result, max_words_per_line)
+    return [(s["start"], s["end"], (s.get("text") or "").strip())
+            for s in _segments(result)]
+
+
 def write_txt(result: dict, file: TextIO) -> None:
     for seg in _segments(result):
         print((seg.get("text") or "").strip(), file=file, flush=True)
 
 
 def write_vtt(result: dict, file: TextIO,
-              highlight_words: bool = False) -> None:
+              highlight_words: bool = False,
+              max_words_per_line: int | None = None) -> None:
     print("WEBVTT\n", file=file)
-    if highlight_words and result.get("words"):
-        cues = _word_cues(result)
-    else:
-        cues = [(s["start"], s["end"], (s.get("text") or "").strip())
-                for s in _segments(result)]
-    for start, end, text in cues:
+    for start, end, text in _subtitle_cues(result, highlight_words,
+                                           max_words_per_line):
         print(f"{format_timestamp(start)} --> {format_timestamp(end)}",
               file=file)
         print(f"{text}\n", file=file, flush=True)
 
 
 def write_srt(result: dict, file: TextIO,
-              highlight_words: bool = False) -> None:
-    if highlight_words and result.get("words"):
-        cues = _word_cues(result)
-    else:
-        cues = [(s["start"], s["end"], (s.get("text") or "").strip())
-                for s in _segments(result)]
+              highlight_words: bool = False,
+              max_words_per_line: int | None = None) -> None:
+    cues = _subtitle_cues(result, highlight_words, max_words_per_line)
     for i, (start, end, text) in enumerate(cues, start=1):
         print(
             f"{i}\n"

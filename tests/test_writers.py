@@ -100,3 +100,22 @@ def test_get_writer():
     assert get_writer("srt") is write_srt
     with pytest.raises(ValueError, match="unknown output format"):
         get_writer("docx")
+
+
+def test_max_words_per_line():
+    srt = io.StringIO()
+    write_srt(RESULT, srt, max_words_per_line=2)
+    out = srt.getvalue()
+    assert "hello world\n" in out and "again\n" in out
+    # first cue spans words 1-2, second cue is word 3 alone
+    assert "00:00:00,000 --> 00:00:02,500" in out
+    assert "00:00:02,500 --> 00:00:04,000" in out
+    vtt = io.StringIO()
+    write_vtt(RESULT, vtt, max_words_per_line=1)
+    assert vtt.getvalue().count("-->") == 3  # one cue per word
+    # without word timings the option is a no-op (segment cues)
+    no_words = {**RESULT, "words": []}
+    srt2 = io.StringIO()
+    write_srt(no_words, srt2, max_words_per_line=2)
+    assert srt2.getvalue().count("-->") == 2
+
