@@ -414,3 +414,19 @@ def test_transcribe_cli_timestamp_seek(tmp_path, rng):
     assert segs and all(s["start"] <= s["end"] for s in segs)
     # grammar: each window opens with a timestamp token
     assert segs[0]["tokens"][0] >= 50364
+
+
+def test_transcribe_demo_example(tmp_path):
+    """examples/transcribe_demo.py runs the full user journey end to end."""
+    import subprocess
+    import sys as _sys
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    r = subprocess.run(
+        [_sys.executable, os.path.join(repo, "examples", "transcribe_demo.py"),
+         "--cpu", "--outdir", str(tmp_path), "--seconds", "2.5"],
+        capture_output=True, text=True, timeout=500)
+    assert r.returncode == 0, r.stderr[-2000:]
+    for fmt in ("txt", "srt", "vtt", "json"):
+        assert (tmp_path / f"demo.{fmt}").exists()
+    assert "done" in r.stdout
