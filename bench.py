@@ -281,7 +281,39 @@ def main() -> None:
     parser.add_argument("--b16-quant", default=None,
                         choices=(None, "int8", "int8-cross"),
                         help="KV-cache quantization for the B=16 serving leg")
+    parser.add_argument("--init-timeout", type=float, default=180.0,
+                        help="seconds to wait for TPU device init before "
+                             "emitting a diagnostic JSON line and exiting "
+                             "(the axon tunnel can wedge for hours — "
+                             "CLAUDE.md; 0 disables)")
     args = parser.parse_args()
+
+    if args.init_timeout > 0:
+        # Device init through the axon tunnel can hang indefinitely when
+        # the remote worker is wedged; surface that as a diagnostic line
+        # instead of an opaque driver timeout. The probe runs in a daemon
+        # thread so a hung PJRT init cannot block the watchdog.
+        import threading
+
+        ready = threading.Event()
+
+        def _probe():
+            import jax  # noqa: F811
+
+            jax.devices()
+            ready.set()
+
+        threading.Thread(target=_probe, daemon=True).start()
+        if not ready.wait(args.init_timeout):
+            print(json.dumps({
+                "metric": "AVSR full-AV decode realtime factor (beam=5)",
+                "value": None, "unit": "x_realtime", "vs_baseline": None,
+                "error": f"TPU device init did not complete within "
+                         f"{args.init_timeout:.0f}s (tunnel wedged)",
+            }))
+            import os as _os
+
+            _os._exit(3)  # the hung init thread cannot be joined
 
     if args.train:
         r = bench_train(b=args.train_batch, remat=args.train_remat)
