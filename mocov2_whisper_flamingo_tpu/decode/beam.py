@@ -33,10 +33,12 @@ TPU design notes (each measured — see docs/DESIGN.md):
   (models/whisper.py ``_ancestry_attention``) — 2.76 -> 1.01 ms/step,
   because every physical reorder (however expressed) forced a ~50 us
   relayout copy per cache leaf of tile-padded [.., 12, 64] trailing dims;
-- where physical gathers remain (token buffers, ``use_ancestry=False``
+- where LARGE physical gathers remain (``use_ancestry=False`` cache
   fallback, streaming chunk commit), they are one-hot matmuls, not
-  ``take_along_axis`` — the general gather lowers ~100x slower on large KV
-  caches;
+  ``take_along_axis`` — the general gather lowers ~100x slower on large
+  KV caches (small [B, K, L] token-buffer gathers stay
+  ``take_along_axis``: they are tiny and the one-hot form measured no
+  better);
 - cross K/V rows are beam-invariant by construction (computed from the
   un-repeated encoder output); the cross cache is computed once per
   utterance and never touched by beam bookkeeping.

@@ -205,7 +205,15 @@ def attention_block(
         q = _split_heads(L.linear(params["q"], x, precision), n_heads)
 
     if cache is not None and kv_source is not None:
-        # Cross-attention with precomputed encoder K/V.
+        # Cross-attention with precomputed encoder K/V. (No in-repo caller
+        # takes this branch — decode_step routes cross attention through
+        # ``_cross_step`` — but it stays valid for external callers with
+        # an UNQUANTIZED cache; quantized caches fold their scales in
+        # ``_cross_step``/``_ancestry_attention`` only.)
+        if "k_scale" in cache:
+            raise NotImplementedError(
+                "attention_block does not dequantize cross caches; use "
+                "decode_step/_cross_step for quantized caches")
         k, v = cache["k"], cache["v"]
         new_cache = cache
     else:
@@ -461,7 +469,8 @@ class WhisperDecoder:
         for lp in params["layers"]:
             lp = dict(lp)
             sa = dict(lp["self_attn"])
-            d = sa["q"]["kernel"].shape[0]
+            d = sa["q"]["kernel"].shape[1]  # output dim (= input for square
+            #                                 Whisper projections)
             kernel = jnp.concatenate(
                 [sa["q"]["kernel"], sa["k"]["kernel"], sa["v"]["kernel"]], axis=1)
             bias = jnp.concatenate([
@@ -566,7 +575,13 @@ class WhisperDecoder:
             s = s * cross["k_scale"].transpose(0, 2, 1)[:, None]  # [B,1,H,T]
         if encoder_valid is not None:
             ev = encoder_valid
-            if ev.shape[0] != b_enc:  # tolerate pre-repeated masks
+            if ev.shape[0] != b_enc:
+                # Tolerate masks pre-REPEATED over beam rows
+                # (jnp.repeat(mask, k, axis=0): b0,b0,...,b1,b1,...) by
+                # taking each block's first row. A TILED mask
+                # (b0,b1,...,b0,b1,...) has the same shape but would be
+                # silently mis-selected — callers must use repeat layout
+                # (all in-repo callers pass the unrepeated [B, T] mask).
                 ev = ev[::groups]
             s = jnp.where(ev[:, None, None, :], s, -1e30)
         p = jax.nn.softmax(s, axis=-1)
