@@ -237,22 +237,35 @@ class DataModule:
     def _collate(self, batch):
         return collate_fn(batch, target_len_buckets=self.target_len_buckets)
 
-    def _get_sampler(self, dataset, batch_size: int, shuffle: bool = True):
+    def _get_sampler(self, dataset, batch_size: int, shuffle: bool = True,
+                     max_frames: int | None = None):
         import jax
 
+        # Per-split frame cap: val/test datasets are built with
+        # max_frames_val, so their token budget and size clamp must use it
+        # too (clamping 600-frame val clips to the train cap would pack
+        # double the intended memory budget into a batch).
+        max_frames = max_frames or self.max_frames
         base = ByFrameCountSampler(
             dataset,
-            max_frames_per_gpu=self.max_frames * batch_size,
+            max_frames_per_gpu=max_frames * batch_size,
             shuffle=shuffle,
             seed=self.seed,
-            max_frames=self.max_frames,
+            max_frames=max_frames,
         )
         multi_host = jax.process_count() > 1
         if self.quantize_batch_sizes:
-            # Multi-host: every piece must divide over this host's devices
-            # (batch_sharding(per_host=True) rejects anything else), so the
-            # smallest allowed piece is the local device count.
-            min_size = jax.local_device_count() if multi_host else 1
+            # Every piece must divide over the devices that shard the batch
+            # — this host's local devices under multi-host
+            # (batch_sharding(per_host=True) rejects anything else), the
+            # data-axis extent on a single host (indivisible pieces would
+            # silently fall back to full replication AND compile a fresh
+            # program per odd size).
+            if multi_host:
+                min_size = jax.local_device_count()
+            else:
+                n_model = int(self.config["mesh"].get("model", 1) or 1)
+                min_size = max(jax.local_device_count() // n_model, 1)
             base = QuantizedBatchSampler(base, batch_size, min_size=min_size)
         if multi_host:
             return ShardedSampler(base, jax.process_count(), jax.process_index(),
@@ -271,7 +284,8 @@ class DataModule:
         if self.val_dataset is None:
             self.setup("fit")
         return DataLoader(self.val_dataset,
-                          self._get_sampler(self.val_dataset, self.val_batch_size, False),
+                          self._get_sampler(self.val_dataset, self.val_batch_size, False,
+                                            max_frames=self.max_frames_val),
                           collate=self._collate, num_workers=self.num_workers,
                           prefetch_batches=self.prefetch_batches)
 
@@ -279,6 +293,7 @@ class DataModule:
         if self.test_dataset is None:
             self.setup("test")
         return DataLoader(self.test_dataset,
-                          self._get_sampler(self.test_dataset, self.test_batch_size, False),
+                          self._get_sampler(self.test_dataset, self.test_batch_size, False,
+                                            max_frames=self.max_frames_val),
                           collate=self._collate, num_workers=self.num_workers,
                           prefetch_batches=self.prefetch_batches)

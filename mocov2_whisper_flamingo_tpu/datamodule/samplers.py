@@ -179,8 +179,14 @@ class ShardedSampler:
         for size in sorted(by_size, reverse=True):
             group = by_size[size]
             remainder = len(group) % self.num_replicas
-            if remainder:  # pad by wrapping so every rank gets a full column
-                group = group + group[: self.num_replicas - remainder]
+            if remainder:
+                # Pad by TILING the group so every rank gets a full column
+                # even when the pad exceeds the group length (a 1-batch
+                # group on 4 replicas needs 3 pad entries — a plain slice
+                # would under-pad and desync the ranks' batch counts).
+                pad = self.num_replicas - remainder
+                reps = -(-pad // len(group))
+                group = group + (group * reps)[:pad]
             mine.extend(group[self.rank :: self.num_replicas])
         if self.shuffle:
             rng = np.random.default_rng(self.seed + self.epoch)

@@ -59,7 +59,9 @@ class EarlyStopping:
             self.count = 0
             return False
         self.count += 1
-        return self.count > self.patience
+        # Lightning stops once wait_count >= patience (the patience-th
+        # consecutive non-improving val epoch).
+        return self.count >= self.patience
 
 
 class CheckpointManager:
@@ -74,6 +76,11 @@ class CheckpointManager:
         self.save_top_k = save_top_k
         self.sign = 1.0 if mode == "min" else -1.0
         self.kept: list[tuple[float, str]] = []
+        # An evicted checkpoint that was still the "last" pointer at
+        # eviction time: deletion is deferred until "last" moves on
+        # (otherwise one full checkpoint dir leaks per epoch once top-k is
+        # full and the metric is worsening).
+        self._deferred_delete: str | None = None
         self._ckpt = ocp.StandardCheckpointer()
 
     def save(self, state: dict, step: int, metric: float | None = None) -> str:
@@ -85,13 +92,20 @@ class CheckpointManager:
         # refresh "last" pointer
         with open(os.path.join(self.dir, "last.json"), "w") as f:
             json.dump({"path": path, "step": step}, f)
+        if (self._deferred_delete and self._deferred_delete != path
+                and not any(p == self._deferred_delete for _, p in self.kept)):
+            if os.path.exists(self._deferred_delete):
+                shutil.rmtree(self._deferred_delete)
+            self._deferred_delete = None
         if metric is not None:
             self.kept.append((self.sign * metric, path))
             self.kept.sort(key=lambda kv: kv[0])
             while len(self.kept) > self.save_top_k:
                 _, worst = self.kept.pop()
                 last = json.load(open(os.path.join(self.dir, "last.json")))
-                if worst != last["path"] and os.path.exists(worst):
+                if worst == last["path"]:
+                    self._deferred_delete = worst
+                elif os.path.exists(worst):
                     shutil.rmtree(worst)
         return path
 
@@ -150,6 +164,7 @@ class Trainer:
             mode=out_cfg.get("monitor_mode", "min"))
 
         self._step_fn = None
+        self._eval_fn = None  # lazily built for standalone validate()/test()
         self.global_step = 0
         # Optional per-step wall-clock trace (set to [] before fit to
         # enable): timestamps are taken after each async step DISPATCH, so
@@ -250,9 +265,24 @@ class Trainer:
 
         params, opt_state = self.setup(params, total)
         if resume:
+            # Keep each leaf's live MESH sharding in the restore target so
+            # orbax loads straight into the mesh placement (dropping it
+            # would restore unsharded host copies — wrong layout under TP
+            # and broken global arrays under multi-host). Leaves without a
+            # NamedSharding (eagerly-created scalars like MultiSteps'
+            # mini_step) stay sharding-free: pinning their incidental
+            # single-device placement would conflict inside jit.
+            def leaf_struct(x):
+                if not hasattr(x, "shape"):
+                    return x
+                sharding = getattr(x, "sharding", None)
+                if not isinstance(sharding, jax.sharding.NamedSharding):
+                    sharding = None
+                return jax.ShapeDtypeStruct(x.shape, x.dtype,
+                                            sharding=sharding)
+
             abstract = jax.tree.map(
-                lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype)
-                if hasattr(x, "shape") else x,
+                leaf_struct,
                 {"params": params, "opt_state": opt_state, "step": 0})
             restored = self.ckpt.restore(
                 abstract, resume if resume != "last" else None)
@@ -318,6 +348,20 @@ class Trainer:
                     f"train_ff_gate_{i}", float(np.tanh(layer["ff_gate"])), self.global_step)
         self.writer.flush()
 
+    @staticmethod
+    def _host_local(arr):
+        """Eval output -> this host's rows as numpy. Single-host (fully
+        addressable) arrays pass through; under ``process_count()>1`` the
+        global array is reassembled from the addressable shards — exactly
+        the rows this process contributed via
+        ``make_array_from_process_local_data`` — so they pair with the
+        host-local ``target_text`` references."""
+        if not isinstance(arr, jax.Array) or arr.is_fully_addressable:
+            return np.asarray(arr)
+        shards = sorted(arr.addressable_shards,
+                        key=lambda s: s.index[0].start or 0)
+        return np.concatenate([np.asarray(s.data) for s in shards], axis=0)
+
     def validate(self, datamodule, params: dict) -> dict:
         if self._eval_fn is None:
             self._eval_fn = jax.jit(self.task.make_eval_step())
@@ -329,11 +373,17 @@ class Trainer:
             placed = self._put_batch(batch)
             texts = placed.pop("target_text", [])
             losses, preds = self._eval_fn(params, placed)
+            # Per-SAMPLE weighting: quantized batches vary in size, so a
+            # 1-row piece must not carry the weight of a 16-row one.
+            bs = len(texts) or next(
+                int(v.shape[0]) for v in placed.values()
+                if hasattr(v, "shape") and v.ndim > 0)
             for k, v in losses.items():
-                totals[k] = totals.get(k, 0.0) + float(v)
-            hyps.extend(self.task.decode_predictions(preds, self.tokenizer))
+                totals[k] = totals.get(k, 0.0) + float(v) * bs
+            hyps.extend(self.task.decode_predictions(
+                self._host_local(preds), self.tokenizer))
             refs.extend(texts)
-            n += 1
+            n += bs
         metrics = {k: v / max(n, 1) for k, v in totals.items()}
         metrics["wer"] = corpus_wer(refs, hyps) if refs else 1.0
         return metrics
@@ -346,7 +396,8 @@ class Trainer:
             placed = self._put_batch(batch)
             texts = placed.pop("target_text", [])
             _, preds = self._eval_fn(params, placed)
-            hyps.extend(self.task.decode_predictions(preds, self.tokenizer))
+            hyps.extend(self.task.decode_predictions(
+                self._host_local(preds), self.tokenizer))
             refs.extend(texts)
         metrics = {"wer": corpus_wer(refs, hyps) if refs else 1.0}
         self.writer.add_scalar("test/wer", metrics["wer"], self.global_step)

@@ -459,3 +459,23 @@ def test_mp4_path_real_ffmpeg(tmp_path):
     assert probe_video_frames(str(clip), default=-1) == t
     frames = read_video(str(clip))
     assert frames.shape == (t, 3, h, w)
+
+
+def test_sharded_sampler_tile_pads_small_groups():
+    """A size group smaller than its pad must TILE so every rank still gets
+    the same batch count (a 1-batch group on 4 replicas previously gave
+    ranks 2-3 nothing and desynced multi-host batch counts)."""
+    from mocov2_whisper_flamingo_tpu.datamodule.samplers import ShardedSampler
+
+    class OneBatch:
+        def __iter__(self):
+            return iter([[7, 8]])
+
+        def __len__(self):
+            return 1
+
+    shards = [list(ShardedSampler(OneBatch(), 4, r, shuffle=False))
+              for r in range(4)]
+    assert all(len(s) == 1 for s in shards)
+    assert all(s[0] == [7, 8] for s in shards)
+    assert all(len(ShardedSampler(OneBatch(), 4, r)) == 1 for r in range(4))

@@ -314,3 +314,41 @@ def test_feature_mse_loss_mode():
     losses_e, preds = eval_step(params, batch)
     assert np.isfinite(float(losses_e["loss"]))
     assert preds.shape[0] == batch["target_ids"].shape[0]
+
+
+def test_early_stopping_patience_semantics():
+    """Lightning parity: stop after the patience-th consecutive
+    non-improving epoch (not patience+1)."""
+    from mocov2_whisper_flamingo_tpu.training.trainer import EarlyStopping
+
+    es = EarlyStopping(patience=2)
+    assert not es.update(1.0)   # improvement
+    assert not es.update(1.5)   # bad 1
+    assert es.update(1.4)       # bad 2 -> stop
+    es2 = EarlyStopping(patience=2)
+    assert not es2.update(1.0)
+    assert not es2.update(1.5)
+    assert not es2.update(0.5)  # improvement resets
+    assert not es2.update(0.9)
+    assert es2.update(0.9)
+
+
+def test_checkpoint_topk_evicts_last_when_pointer_moves(tmp_path):
+    """The worst checkpoint that is still 'last' is deletion-DEFERRED, not
+    leaked: it goes away as soon as the last pointer moves on."""
+    import os
+
+    from mocov2_whisper_flamingo_tpu.training.trainer import CheckpointManager
+
+    mgr = CheckpointManager(str(tmp_path / "ck"), save_top_k=1)
+    state = {"x": np.zeros(3)}
+    p1 = mgr.save(state, 1, metric=1.0)   # best
+    p2 = mgr.save(state, 2, metric=2.0)   # worse AND last -> deferred
+    assert os.path.exists(p1) and os.path.exists(p2)
+    p3 = mgr.save(state, 3, metric=3.0)   # last moves; p2 must be deleted
+    assert os.path.exists(p1)
+    assert not os.path.exists(p2), "evicted-but-last checkpoint leaked"
+    assert os.path.exists(p3)  # p3 is now last (deferred until pointer moves)
+    p4 = mgr.save(state, 4, metric=4.0)
+    assert not os.path.exists(p3)
+    assert os.path.exists(p1) and os.path.exists(p4)
