@@ -43,6 +43,18 @@ import numpy as np
 # hops); openai TOKENS_PER_SECOND = 50.
 SECONDS_PER_FRAME = 0.02
 
+# openai transcribe defaults (whisper/transcribe.py cli):
+# punctuation marks merged into the following / preceding word.
+PREPEND_PUNCTUATIONS = "\"'\u201c\u00bf([{-"
+APPEND_PUNCTUATIONS = "\"'.\u3002,\uff0c!\uff01?\uff1f:\uff1a\u201d)]}\u3001"
+
+# string.punctuation + the CJK/quote marks openai's word splitter treats
+# as word-starting punctuation (tokenizer.py split_tokens_on_spaces uses
+# `subword.strip() in string.punctuation`; the wider set keeps the merge
+# sets above consistent).
+_PUNCT_CHARS = set("!\"#$%&'()*+,-./:;<=>?@[\\]^_`{|}~") \
+    | set(PREPEND_PUNCTUATIONS) | set(APPEND_PUNCTUATIONS)
+
 
 @dataclasses.dataclass
 class WordTiming:
@@ -50,6 +62,101 @@ class WordTiming:
     start: float
     end: float
     tokens: list[int]
+
+
+def _decode(tokenizer, ids: list[int]) -> str:
+    """Decode with U+FFFD replacement on invalid/partial UTF-8 when the
+    tokenizer supports it (ByteTokenizer ``errors=``; HF byte-level decode
+    already replaces)."""
+    try:
+        return tokenizer.decode(ids, errors="replace")
+    except TypeError:
+        return tokenizer.decode(ids)
+
+
+def split_tokens_on_unicode(tokenizer, tokens) -> list[tuple[str, list[int]]]:
+    """Group tokens into minimal decodable units (openai
+    whisper/tokenizer.py ``split_tokens_on_unicode``).
+
+    Byte-level BPE can split one multi-byte UTF-8 character (every accented
+    Vietnamese letter) across tokens; decoding a lone piece then yields
+    U+FFFD. Accumulate tokens until the decoded text carries no replacement
+    character — unless the full decode genuinely contains U+FFFD at that
+    offset (openai's ``decoded_full[...] == replacement_char`` check)."""
+    tokens = [int(t) for t in tokens]
+    decoded_full = _decode(tokenizer, tokens)
+    replacement = "\ufffd"
+    out: list[tuple[str, list[int]]] = []
+    current: list[int] = []
+    offset = 0
+    for tok in tokens:
+        current.append(tok)
+        decoded = _decode(tokenizer, current)
+        if (replacement not in decoded
+                or (offset + decoded.index(replacement) < len(decoded_full)
+                    and decoded_full[offset + decoded.index(replacement)]
+                    == replacement)):
+            out.append((decoded, current))
+            current = []
+            offset += len(decoded)
+    if current:  # undecodable tail (truncated sequence): keep the tokens
+        out.append((_decode(tokenizer, current), current))
+    return out
+
+
+def split_tokens_on_spaces(tokenizer, tokens) -> list[tuple[str, list[int]]]:
+    """Unicode-safe word split for space-delimited scripts (openai
+    whisper/tokenizer.py ``split_tokens_on_spaces``): a new word starts at
+    a leading space or a punctuation-only piece; everything else glues onto
+    the previous word. Words KEEP their leading space (openai convention —
+    display writers strip; merge_punctuations keys on it)."""
+    words: list[tuple[str, list[int]]] = []
+    for subword, sub_tokens in split_tokens_on_unicode(tokenizer, tokens):
+        stripped = subword.strip()
+        punctuation = bool(stripped) and all(
+            c in _PUNCT_CHARS for c in stripped)
+        if subword.startswith(" ") or punctuation or not words:
+            words.append((subword, list(sub_tokens)))
+        else:
+            prev_w, prev_t = words[-1]
+            words[-1] = (prev_w + subword, prev_t + list(sub_tokens))
+    return words
+
+
+def merge_punctuations(
+    words: list[WordTiming],
+    prepended: str = PREPEND_PUNCTUATIONS,
+    appended: str = APPEND_PUNCTUATIONS,
+) -> list[WordTiming]:
+    """openai whisper/timing.py ``merge_punctuations``: a lone
+    space-prefixed opening mark merges into the FOLLOWING word (which keeps
+    its own start/end); a closing mark merges into the PRECEDING word
+    (ditto). Emptied entries are dropped. Returns a new list; inputs are
+    not mutated."""
+    merged = [dataclasses.replace(w, tokens=list(w.tokens)) for w in words]
+    # prepended: scan backwards, folding opening marks forward
+    i, j = len(merged) - 2, len(merged) - 1
+    while i >= 0:
+        prev, foll = merged[i], merged[j]
+        if prev.word.startswith(" ") and prev.word.strip() in prepended:
+            foll.word = prev.word + foll.word
+            foll.tokens = prev.tokens + foll.tokens
+            prev.word, prev.tokens = "", []
+        else:
+            j = i
+        i -= 1
+    # appended: scan forwards, folding closing marks backward
+    i, j = 0, 1
+    while j < len(merged):
+        prev, foll = merged[i], merged[j]
+        if not prev.word.endswith(" ") and foll.word in appended:
+            prev.word = prev.word + foll.word
+            prev.tokens = prev.tokens + foll.tokens
+            foll.word, foll.tokens = "", []
+        else:
+            i = j
+        j += 1
+    return [w for w in merged if w.word]
 
 
 def median_filter(x: np.ndarray, width: int = 7) -> np.ndarray:
@@ -214,16 +321,19 @@ def word_timestamps(
     alignment_heads: list[tuple[int, int]] | None = None,
     medfilt_width: int = 7,
     encoder_valid: jnp.ndarray | None = None,
+    prepend_punctuations: str | None = PREPEND_PUNCTUATIONS,
+    append_punctuations: str | None = APPEND_PUNCTUATIONS,
 ) -> list[WordTiming]:
     """Word-level timings: align all tokens, then group the TEXT tokens
     (``tokens[n_prefix : n_prefix + n_text]``; ``n_text=None`` takes the
     whole tail — exclude a trailing EOS by bounding it) into words.
 
     ``group_fn(text_token_ids) -> list[(word_str, token_count)]`` is the
-    tokenizer-aware split (e.g. whitespace/punctuation merging on the
-    decoded text); each word takes start from its first token and end from
-    its last. A simple default for space-delimited scripts: split decoded
-    pieces on leading spaces."""
+    tokenizer-aware split (``split_tokens_on_spaces`` for space-delimited
+    scripts); each word takes start from its first token and end from its
+    last. Lone punctuation words are then folded into their neighbors
+    (``merge_punctuations``, openai transcribe defaults; pass ``None`` to
+    keep them separate)."""
     tokens = [int(t) for t in tokens]
     text = tokens[n_prefix:] if n_text is None \
         else tokens[n_prefix:n_prefix + n_text]
@@ -246,4 +356,7 @@ def word_timestamps(
             end=float(ends[min(pos + count - 1, len(text) - 1)]),
             tokens=span))
         pos += count
+    if prepend_punctuations is not None or append_punctuations is not None:
+        out = merge_punctuations(out, prepend_punctuations or "",
+                                 append_punctuations or "")
     return out

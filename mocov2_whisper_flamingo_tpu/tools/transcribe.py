@@ -39,24 +39,17 @@ def load_audio(path: str, sample_rate: int = 16_000):
 
 
 def default_group_fn(tokenizer):
-    """Whitespace word grouping: map decoded per-token pieces to words by
-    accumulating tokens until the running text grows a space-separated word
-    (byte-level tokenizers mark word starts with a leading space)."""
+    """openai word grouping (whisper/tokenizer.py ``split_tokens_on_spaces``):
+    unicode-safe subword split (a multi-byte character split across byte-BPE
+    tokens — every accented Vietnamese letter — stays one piece instead of
+    decoding to U+FFFD), then new words at leading spaces / punctuation
+    pieces. Words keep their leading space; display writers strip it."""
+    from mocov2_whisper_flamingo_tpu.decode.timestamps import (
+        split_tokens_on_spaces)
 
     def group(token_ids):
-        words: list[tuple[str, int]] = []
-        cur: list[int] = []
-        cur_text = ""
-        for t in token_ids:
-            piece = tokenizer.decode([int(t)])
-            if piece.startswith(" ") and cur:
-                words.append((cur_text.strip(), len(cur)))
-                cur, cur_text = [], ""
-            cur.append(int(t))
-            cur_text += piece
-        if cur:
-            words.append((cur_text.strip(), len(cur)))
-        return words
+        return [(word, len(toks))
+                for word, toks in split_tokens_on_spaces(tokenizer, token_ids)]
 
     return group
 

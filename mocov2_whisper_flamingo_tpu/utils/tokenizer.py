@@ -61,7 +61,8 @@ class ByteTokenizer:
         enc.input_ids = ids
         return enc
 
-    def decode(self, ids: Sequence[int], skip_special_tokens: bool = True) -> str:
+    def decode(self, ids: Sequence[int], skip_special_tokens: bool = True,
+               errors: str = "ignore") -> str:
         raw = bytearray()
         for i in ids:
             i = int(i)
@@ -71,7 +72,7 @@ class ByteTokenizer:
                 continue
             if i - self.n_special < 256:
                 raw.append(i - self.n_special)
-        return raw.decode("utf-8", errors="ignore")
+        return raw.decode("utf-8", errors=errors)
 
     def batch_decode(self, batch: Iterable[Sequence[int]],
                      skip_special_tokens: bool = True) -> list[str]:

@@ -238,3 +238,95 @@ def test_native_dtw_matches_numpy():
         ref = _dtw_numpy(cost)
         np.testing.assert_array_equal(got[0], ref[0])
         np.testing.assert_array_equal(got[1], ref[1])
+
+
+# -- word splitting & punctuation merge (openai tokenizer.py/timing.py) ------
+
+
+def test_split_tokens_on_unicode_multibyte():
+    """Bytes of one accented character stay in one piece; decoding never
+    leaks U+FFFD for valid text (openai split_tokens_on_unicode)."""
+    from mocov2_whisper_flamingo_tpu.decode.timestamps import (
+        split_tokens_on_unicode)
+    from mocov2_whisper_flamingo_tpu.utils.tokenizer import ByteTokenizer
+
+    tok = ByteTokenizer()
+    ids = tok.encode("chào", add_special_tokens=False)
+    pieces = split_tokens_on_unicode(tok, ids)
+    assert "".join(p for p, _ in pieces) == "chào"
+    assert all("�" not in p for p, _ in pieces)
+    # the two UTF-8 bytes of 'à' ride together
+    assert any(len(t) == 2 for _, t in pieces)
+    assert sum(len(t) for _, t in pieces) == len(ids)
+
+
+def test_split_tokens_on_unicode_genuine_replacement_char():
+    """Text that genuinely contains U+FFFD terminates — openai's
+    decoded_full offset check fires instead of stalling the emitter — and
+    every token lands in some piece (our tail handling; openai drops
+    unconsumed tokens). The replacement char itself may split imperfectly:
+    a truncated multi-byte prefix is indistinguishable from a genuine
+    U+FFFD at that offset, the same ambiguity openai has."""
+    from mocov2_whisper_flamingo_tpu.decode.timestamps import (
+        split_tokens_on_unicode)
+    from mocov2_whisper_flamingo_tpu.utils.tokenizer import ByteTokenizer
+
+    tok = ByteTokenizer()
+    ids = tok.encode("a�b", add_special_tokens=False)
+    pieces = split_tokens_on_unicode(tok, ids)
+    assert sum(len(t) for _, t in pieces) == len(ids)
+    joined = "".join(p for p, _ in pieces)
+    assert joined.startswith("a") and joined.endswith("b")
+    assert "�" in joined
+
+
+def test_split_tokens_on_spaces_punctuation_starts_word():
+    """A punctuation piece opens its own word even without a leading space
+    (openai split_tokens_on_spaces), so merge_punctuations can re-attach it."""
+    from mocov2_whisper_flamingo_tpu.decode.timestamps import (
+        split_tokens_on_spaces)
+    from mocov2_whisper_flamingo_tpu.utils.tokenizer import ByteTokenizer
+
+    tok = ByteTokenizer()
+    ids = tok.encode("hi, em", add_special_tokens=False)
+    words = split_tokens_on_spaces(tok, ids)
+    assert [w for w, _ in words] == ["hi", ",", " em"]
+
+
+def test_merge_punctuations_openai_semantics():
+    """Opening marks fold into the FOLLOWING word, closing marks into the
+    PRECEDING one; survivors keep their own timings; inputs unmutated
+    (openai timing.py merge_punctuations)."""
+    from mocov2_whisper_flamingo_tpu.decode.timestamps import (
+        merge_punctuations)
+
+    words = [WordTiming(' "', 0.0, 1.0, [1]), WordTiming("hi", 1.0, 2.0, [2]),
+             WordTiming(",", 2.0, 3.0, [3]),
+             WordTiming(" there", 3.0, 4.0, [4]),
+             WordTiming("!", 4.0, 5.0, [5])]
+    merged = merge_punctuations(words)
+    assert [w.word for w in merged] == [' "hi,', " there!"]
+    assert merged[0].tokens == [1, 2, 3]
+    assert merged[1].tokens == [4, 5]
+    assert (merged[0].start, merged[0].end) == (1.0, 2.0)
+    assert (merged[1].start, merged[1].end) == (3.0, 4.0)
+    assert words[1].word == "hi" and words[1].tokens == [2]
+
+
+def test_word_timestamps_merges_punctuation(setup):
+    """End-to-end: a lone punctuation group disappears into its neighbor
+    by default and stays separate with merging disabled."""
+    dec, params, enc_out = setup
+    tokens = [1, 10, 11, 12, 3]  # 1 prefix, 3 text, EOS
+
+    def group_fn(text):
+        return [("hi", 1), (",", 1), (" em", 1)]
+
+    words = word_timestamps(dec, params, tokens, enc_out, group_fn,
+                            n_prefix=1)
+    assert [w.word for w in words] == ["hi,", " em"]
+    assert words[0].tokens == [10, 11]
+    raw = word_timestamps(dec, params, tokens, enc_out, group_fn,
+                          n_prefix=1, prepend_punctuations=None,
+                          append_punctuations=None)
+    assert [w.word for w in raw] == ["hi", ",", " em"]

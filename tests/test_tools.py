@@ -378,15 +378,33 @@ def test_transcribe_cli_requires_weights_choice(tmp_path):
 
 def test_default_group_fn_whitespace_grouping():
     """ByteTokenizer pieces regroup into space-delimited words with exact
-    token counts."""
+    token counts (openai convention: words keep their leading space)."""
     from mocov2_whisper_flamingo_tpu.tools.transcribe import default_group_fn
     from mocov2_whisper_flamingo_tpu.utils.tokenizer import ByteTokenizer
 
     tok = ByteTokenizer()
     ids = tok.encode("hi to ai", add_special_tokens=False)
     words = default_group_fn(tok)(ids)
-    assert [w for w, _ in words] == ["hi", "to", "ai"]
+    assert [w for w, _ in words] == ["hi", " to", " ai"]
     assert sum(n for _, n in words) == len(ids)
+
+
+def test_default_group_fn_multibyte_vietnamese():
+    """Accented characters split across byte-level tokens stay intact —
+    no U+FFFD replacement chars in word text (openai
+    split_tokens_on_unicode semantics; the round-2 grouping decoded
+    token-by-token and garbled every Vietnamese diacritic)."""
+    from mocov2_whisper_flamingo_tpu.tools.transcribe import default_group_fn
+    from mocov2_whisper_flamingo_tpu.utils.tokenizer import ByteTokenizer
+
+    tok = ByteTokenizer()
+    text = "xin chào các bạn"
+    ids = tok.encode(text, add_special_tokens=False)
+    words = default_group_fn(tok)(ids)
+    assert [w for w, _ in words] == ["xin", " chào", " các",
+                                     " bạn"]
+    assert sum(n for _, n in words) == len(ids)
+    assert "�" not in "".join(w for w, _ in words)
 
 
 def test_transcribe_cli_timestamp_seek(tmp_path, rng):
