@@ -65,6 +65,13 @@ class LogitRules:
     eos_id: int = 0
     max_initial_timestamp_index: int | None = 1
     detect_timestamp_from_logprob: bool = True
+    # Upper bound of the TEXT token range, when the vocabulary follows the
+    # real Whisper layout (text < eot < specials < timestamps). Set by
+    # ``for_whisper``; lets the transcript/conditioning stream drop any
+    # special id in [prompt_eot, timestamp_begin) that an incomplete
+    # suppress list let through (openai keeps ``token < tokenizer.eot``).
+    # None for toy/front-special vocabularies where no such bound exists.
+    prompt_eot: int | None = None
 
     @classmethod
     def for_whisper(cls, generation_config, vocab_size: int,
@@ -90,6 +97,8 @@ class LogitRules:
                               else None),
             eos_id=int(get("eos_token_id") or 0),
             max_initial_timestamp_index=get("max_initial_timestamp_index", 1),
+            prompt_eot=(int(get("eos_token_id"))
+                        if get("eos_token_id") is not None else None),
         )
 
     # -- static bias tables (built once per trace) ---------------------------

@@ -188,16 +188,25 @@ def needs_fallback(
     text: str | bytes,
     logprob_threshold: float | None = -1.0,
     compression_ratio_threshold: float | None = 2.4,
+    no_speech_prob: float | None = None,
+    no_speech_threshold: float | None = None,
 ) -> bool:
     """openai transcribe.py: retry when the text is too repetitive OR the
-    average logprob is too low. ``None`` disables a gate."""
+    average logprob is too low — but a confident silence detection
+    overrides BOTH (openai sets ``needs_fallback = False`` last when
+    ``no_speech_prob > no_speech_threshold``: silence must not escalate
+    the temperature ladder). ``None`` disables a gate."""
+    needs = False
     if (compression_ratio_threshold is not None
             and compression_ratio(text) > compression_ratio_threshold):
-        return True
+        needs = True
     if (logprob_threshold is not None
             and float(avg_logprob) < logprob_threshold):
-        return True
-    return False
+        needs = True
+    if (no_speech_threshold is not None and no_speech_prob is not None
+            and float(no_speech_prob) > no_speech_threshold):
+        needs = False
+    return needs
 
 
 @dataclasses.dataclass
@@ -245,6 +254,7 @@ def decode_with_fallback(
     text_fn=None,
     no_speech_id: int | None = None,
     sot_index: int | None = None,
+    no_speech_threshold: float | None = None,
 ) -> FallbackResult:
     """openai ``decode_with_fallback``: beam search at t=0, then sampled
     retries at escalating temperature until the quality gates pass.
@@ -258,8 +268,11 @@ def decode_with_fallback(
 
     ``no_speech_id`` additionally probes ``no_speech_probability`` at
     ``sot_index`` (default: first occurrence of nothing — the prefix start)
-    and returns it on the result; the fallback ladder itself ignores it
-    (openai's skip decision lives in the ``transcribe`` window loop).
+    and returns it on the result. With ``no_speech_threshold`` also set, a
+    probed probability above it ACCEPTS the current rung regardless of the
+    quality gates (openai's silence override inside decode_with_fallback —
+    a silent window must not burn the whole temperature ladder); the skip
+    decision itself still lives in the ``transcribe`` window loop.
     """
     temperatures = tuple(temperatures)
     if not temperatures:
@@ -322,7 +335,10 @@ def decode_with_fallback(
             best_cr[e] = compression_ratio(text)
             if not needs_fallback(avg[e], text,
                                   logprob_threshold,
-                                  compression_ratio_threshold):
+                                  compression_ratio_threshold,
+                                  no_speech_prob=None if ns_prob is None
+                                  else float(ns_prob[e]),
+                                  no_speech_threshold=no_speech_threshold):
                 frozen[e] = True
         if frozen.all():
             break

@@ -85,7 +85,13 @@ def segments_from_window(
     return segments, advance
 
 
-def strip_timestamps(tokens: list[int], timestamp_begin: int) -> list[int]:
+def strip_timestamps(tokens: list[int], timestamp_begin: int,
+                     eot: int | None = None) -> list[int]:
     """Text tokens only — what openai feeds back as the conditioning prompt
-    (``all_tokens`` keeps ``token < tokenizer.eot``)."""
-    return [t for t in tokens if t < timestamp_begin]
+    (``all_tokens`` keeps ``token < tokenizer.eot``). Pass the model's
+    ``eot`` so special ids in ``[eot, timestamp_begin)`` (language/task/
+    notimestamps tokens an incomplete suppress list let through) cannot
+    leak into the prompt stream; without it only the timestamp block is
+    stripped."""
+    bound = timestamp_begin if eot is None else min(eot, timestamp_begin)
+    return [t for t in tokens if t < bound]

@@ -564,7 +564,9 @@ def transcribe_long_form(
                 compression_ratio_threshold=compression_ratio_threshold,
                 text_fn=text_fn,
                 no_speech_id=no_speech_id if probe_ns else None,
-                sot_index=sot_index)
+                sot_index=sot_index,
+                no_speech_threshold=no_speech_threshold if probe_ns
+                else None)
             window_index += 1
             skipped = False
             if probe_ns:
@@ -599,7 +601,9 @@ def transcribe_long_form(
                     # flat stream keeps TEXT tokens only (openai
                     # all_tokens < tokenizer.eot); segments keep the
                     # timestamps
-                    committed.extend(strip_timestamps(s["tokens"], ts0))
+                    committed.extend(strip_timestamps(
+                        s["tokens"], ts0,
+                        eot=getattr(logit_rules, "prompt_eot", None)))
                 advance = max(advance, TIME_PRECISION)
                 if window_index >= max_windows:
                     logger.warning(

@@ -272,8 +272,24 @@ def token_timestamps(
     encoder_valid: jnp.ndarray | None = None,
     n_prefix: int = 0,
     n_drop_last: int = 0,
+    apply_fn=None,
+    pad_tokens_to: int | None = None,
+    pad_id: int = 0,
 ) -> tuple[np.ndarray, np.ndarray]:
     """Per-token (start, end) times in seconds for ONE example.
+
+    ``apply_fn(params, tokens, encoder_out) -> (logits, cross_weights)``:
+    optional replacement for the eager ``decoder.apply`` — pass a jitted
+    wrapper (with ``return_cross_weights=True`` and any ``encoder_valid``
+    baked in) so the teacher-forced alignment forward is ONE compiled
+    dispatch instead of hundreds of eager ops per call.
+
+    ``pad_tokens_to``: run the forward at this (bucketed) length by
+    appending ``pad_id`` rows, bounding jit recompiles to one per bucket.
+    The pad rows are cropped from the cross-weight stack BEFORE the
+    normalization statistics, so results are bit-identical to the unpadded
+    forward (causal self-attention keeps real rows unaffected by trailing
+    pads).
 
     ``tokens``: the full decoded sequence (prefix + text + EOS) as a flat
     int list/array; ``encoder_out``: [1, Tenc, D]. ``n_frames`` restricts
@@ -283,11 +299,19 @@ def token_timestamps(
     matrix to ``sot_sequence.. -1``: forced prefix rows and the EOT row
     must not consume audio frames on the path). Returns (starts, ends),
     each of length ``len(tokens) - n_prefix - n_drop_last``."""
+    tokens = [int(t) for t in tokens]
+    n_real = len(tokens)
+    if pad_tokens_to is not None and pad_tokens_to > n_real:
+        tokens = tokens + [pad_id] * (pad_tokens_to - n_real)
     toks = jnp.asarray(tokens, dtype=jnp.int32)[None, :]
-    _, w = decoder.apply(params, toks, encoder_out,
-                         encoder_valid=encoder_valid,
-                         return_cross_weights=True)
-    matrix = alignment_matrix(np.asarray(w), alignment_heads, medfilt_width,
+    if apply_fn is not None:
+        _, w = apply_fn(params, toks, encoder_out)
+    else:
+        _, w = decoder.apply(params, toks, encoder_out,
+                             encoder_valid=encoder_valid,
+                             return_cross_weights=True)
+    w = np.asarray(w)[:, :, :, :n_real, :]  # crop pad rows pre-statistics
+    matrix = alignment_matrix(w, alignment_heads, medfilt_width,
                               n_frames=n_frames)
     end = matrix.shape[0] - n_drop_last
     matrix = matrix[n_prefix:end]
@@ -323,6 +347,9 @@ def word_timestamps(
     encoder_valid: jnp.ndarray | None = None,
     prepend_punctuations: str | None = PREPEND_PUNCTUATIONS,
     append_punctuations: str | None = APPEND_PUNCTUATIONS,
+    apply_fn=None,
+    pad_tokens_to: int | None = None,
+    pad_id: int = 0,
 ) -> list[WordTiming]:
     """Word-level timings: align all tokens, then group the TEXT tokens
     (``tokens[n_prefix : n_prefix + n_text]``; ``n_text=None`` takes the
@@ -344,7 +371,8 @@ def word_timestamps(
         decoder, params, tokens, encoder_out, n_frames=n_frames,
         alignment_heads=alignment_heads, medfilt_width=medfilt_width,
         encoder_valid=encoder_valid, n_prefix=n_prefix,
-        n_drop_last=n_drop_last)
+        n_drop_last=n_drop_last, apply_fn=apply_fn,
+        pad_tokens_to=pad_tokens_to, pad_id=pad_id)
     out: list[WordTiming] = []
     pos = 0  # index into the text range (= into starts/ends)
     for word, count in group_fn(text):

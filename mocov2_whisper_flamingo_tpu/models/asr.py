@@ -99,14 +99,19 @@ class WhisperASR:
         sot_id: int,
         language_token_ids: Sequence[int],
         pad_to: int | None = 480_000,
+        dec_params: dict | None = None,
     ) -> tuple[jnp.ndarray, jnp.ndarray]:
         """Spoken-language ID from the first 30 s (openai
         ``model.detect_language``): returns ([B] best language token id,
-        [B, n_lang] probabilities ordered as ``language_token_ids``)."""
+        [B, n_lang] probabilities ordered as ``language_token_ids``).
+        ``dec_params``: already-cast decoder params to reuse (skips a
+        second full-tree cast/HBM copy when the caller holds one)."""
         from mocov2_whisper_flamingo_tpu.decode.language import detect_language
 
         enc = self.encode(params, self.features(audio, pad_to=pad_to))
-        return detect_language(self.decoder, self._cast_decoder_params(params),
+        if dec_params is None:
+            dec_params = self._cast_decoder_params(params)
+        return detect_language(self.decoder, dec_params,
                                enc, sot_id, language_token_ids)
 
     def _cast_decoder_params(self, params: dict) -> dict:
@@ -114,6 +119,28 @@ class WhisperASR:
         return jax.tree.map(
             lambda x: prec.cast(x) if jnp.issubdtype(x.dtype, jnp.floating) else x,
             params["decoder"])
+
+    @property
+    def _encode_jit(self):
+        """Cached jitted encoder forward (one compile per mel shape per
+        model instance — eager apply costs hundreds of per-op dispatches
+        through a remote-TPU tunnel)."""
+        fn = self.__dict__.get("_encode_jit_fn")
+        if fn is None:
+            fn = jax.jit(self.encoder.apply)
+            self.__dict__["_encode_jit_fn"] = fn
+        return fn
+
+    @property
+    def _align_jit(self):
+        """Cached jitted teacher-forced decoder forward returning the
+        cross-attention stack (word-time alignment)."""
+        fn = self.__dict__.get("_align_jit_fn")
+        if fn is None:
+            fn = jax.jit(lambda p, t, e: self.decoder.apply(
+                p, t, e, return_cross_weights=True))
+            self.__dict__["_align_jit_fn"] = fn
+        return fn
 
     def transcribe(
         self,
@@ -184,7 +211,8 @@ class WhisperASR:
             first = audio_arr[..., : int(chunk_seconds * sample_rate)]
             best, probs = self.detect_language(
                 params, first, prefix_ids[0], list(detect_language_ids),
-                pad_to=int(chunk_seconds * sample_rate))
+                pad_to=int(chunk_seconds * sample_rate),
+                dec_params=dec_params)
             language = int(np.asarray(best)[0])
             language_probs = {int(t): float(p) for t, p in
                               zip(detect_language_ids,
@@ -251,24 +279,40 @@ class WhisperASR:
             toks = seg["tokens"]
             if timestamp_begin is not None:
                 toks = [t for t in toks if t < timestamp_begin]
+            # fallback for caller-supplied segments without a seek key:
+            # the window ORIGIN is the floor multiple (round() would map a
+            # segment starting in a window's second half to the NEXT window)
             start_s = seg.get(
-                "seek", int(round(seg["start"] / chunk_seconds))
-                * chunk_seconds)
+                "seek", int(seg["start"] // chunk_seconds) * chunk_seconds)
             windows.setdefault(start_s, []).extend(toks)
         words = []
+        max_pos = self.config.max_target_positions
         for start_s, window in windows.items():
             if not window:
                 continue
             s0 = int(round(start_s * sample_rate))
             chunk = audio[..., s0:s0 + chunk_samples]
             mel = self.features(chunk, pad_to=chunk_samples)
-            enc = self.encode(params, mel)
+            enc = self._encode_jit(params["encoder"], mel)
             n_frames = min(max(chunk.shape[-1] // 320, 1), enc.shape[1])
             seq = prefix + window + [eos_id]
+            if len(seq) > max_pos:
+                # A budget-filling window leaves no room for the appended
+                # EOS row in the decoder's learned-PE table; trailing rows
+                # are excluded from the DTW path anyway (n_drop_last).
+                seq = seq[:max_pos]
+            n_text = min(len(window), len(seq) - len(prefix))
+            # Bucket the teacher-forced length to powers of two so XLA
+            # compiles one alignment program per bucket, not one per
+            # distinct window length (pads are cropped pre-statistics
+            # inside token_timestamps — bit-identical results).
+            pad_len = min(max_pos, 1 << max(5, (len(seq) - 1).bit_length()))
             ws = word_timestamps(self.decoder, dec_params, seq, enc,
                                  group_fn, n_prefix=len(prefix),
-                                 n_text=len(window), n_frames=n_frames,
-                                 alignment_heads=alignment_heads)
+                                 n_text=n_text, n_frames=n_frames,
+                                 alignment_heads=alignment_heads,
+                                 apply_fn=self._align_jit,
+                                 pad_tokens_to=pad_len, pad_id=eos_id)
             off = start_s
             for w in ws:
                 w.start += off

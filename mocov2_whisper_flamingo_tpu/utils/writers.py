@@ -49,28 +49,56 @@ def _segments(result: dict) -> list[dict]:
     return [{"start": 0.0, "end": end, "text": result.get("text", "") or ""}]
 
 
-def _word_cues(result: dict) -> list[tuple[float, float, str]]:
-    """(start, end, text-with-active-word-underlined) per word."""
+def _words_by_segment(result: dict) -> list[list]:
+    """Partition the flat word list per segment, sequentially by token
+    count — words and segments both partition the same committed token
+    stream, so the counts line up exactly (a word that would straddle a
+    boundary stays with the segment it starts in). Without segments, one
+    group holds everything."""
     words = result.get("words") or []
+    segs = result.get("segments") or []
+    if not segs:
+        return [list(words)]
+    groups, wi = [], 0
+    for seg in segs:
+        budget = len(seg.get("tokens") or ())
+        taken, used = [], 0
+        while wi < len(words) and used < budget:
+            taken.append(words[wi])
+            used += len(words[wi].tokens)
+            wi += 1
+        groups.append(taken)
+    if wi < len(words) and groups:  # token-less segments: keep every word
+        groups[-1].extend(words[wi:])
+    return groups
+
+
+def _word_cues(result: dict) -> list[tuple[float, float, str]]:
+    """(start, end, text-with-active-word-underlined) per word; the cue
+    text is the enclosing SEGMENT's words only (openai --highlight_words
+    renders per segment, not the whole transcript)."""
     cues = []
-    for i, w in enumerate(words):
-        text = " ".join(
-            f"<u>{x.word.strip()}</u>" if j == i else x.word.strip()
-            for j, x in enumerate(words))
-        cues.append((w.start, w.end, text))
+    for group in _words_by_segment(result):
+        for i, w in enumerate(group):
+            text = " ".join(
+                f"<u>{x.word.strip()}</u>" if j == i else x.word.strip()
+                for j, x in enumerate(group))
+            cues.append((w.start, w.end, text))
     return cues
 
 
 def _line_cues(result: dict, max_words_per_line: int) \
         -> list[tuple[float, float, str]]:
-    """One cue per run of <= max_words_per_line words (openai
-    --max_words_per_line): cue times span the run's first/last word."""
-    words = result.get("words") or []
+    """One cue per run of <= max_words_per_line words within a segment
+    (openai --max_words_per_line groups per segment — a cue must not span
+    the silence between segments): cue times span the run's first/last
+    word."""
     cues = []
-    for i in range(0, len(words), max_words_per_line):
-        run = words[i:i + max_words_per_line]
-        cues.append((run[0].start, run[-1].end,
-                     " ".join(w.word.strip() for w in run)))
+    for group in _words_by_segment(result):
+        for i in range(0, len(group), max_words_per_line):
+            run = group[i:i + max_words_per_line]
+            cues.append((run[0].start, run[-1].end,
+                         " ".join(w.word.strip() for w in run)))
     return cues
 
 
@@ -98,7 +126,9 @@ def write_vtt(result: dict, file: TextIO,
                                            max_words_per_line):
         print(f"{format_timestamp(start)} --> {format_timestamp(end)}",
               file=file)
-        print(f"{text}\n", file=file, flush=True)
+        # literal '-->' in transcript text would corrupt the cue structure
+        # (openai writers make the same replacement)
+        print(f"{text.replace('-->', '->')}\n", file=file, flush=True)
 
 
 def write_srt(result: dict, file: TextIO,
@@ -110,7 +140,7 @@ def write_srt(result: dict, file: TextIO,
             f"{i}\n"
             f"{format_timestamp(start, True, ',')} --> "
             f"{format_timestamp(end, True, ',')}\n"
-            f"{text}\n",
+            f"{text.replace('-->', '->')}\n",
             file=file, flush=True)
 
 

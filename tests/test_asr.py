@@ -165,3 +165,24 @@ def test_transcribe_word_times_with_timestamp_rules(asr, rng):
         assert [w.tokens[0] for w in out["words"]] == out["tokens"]
         assert all(w.end <= len(wav) / 16000 + CHUNK_SECONDS
                    for w in out["words"])
+
+
+def test_word_times_budget_filling_window(asr, rng):
+    """A window that fills the decoder's full token budget with no EOS
+    (the hallucination-loop shape) must not overflow the learned-PE table
+    in the alignment forward (the appended EOS once pushed the
+    teacher-forced sequence to max_target_positions + 1)."""
+    model, params = asr
+    sr = 16000
+    chunk_s = TINY.max_source_positions * 2 * 160 / sr
+    wav = rng.standard_normal(int(chunk_s * sr)).astype(np.float32)
+    window = [10 + (i % 20)
+              for i in range(TINY.max_target_positions - len(PREFIX))]
+    segments = [{"start": 0.0, "end": chunk_s, "seek": 0.0,
+                 "tokens": list(window)}]
+    words = model._word_times(
+        params, model._cast_decoder_params(params), jnp.asarray(wav),
+        segments, list(PREFIX),
+        lambda text: [(f"t{t}", 1) for t in text],
+        chunk_seconds=chunk_s, sample_rate=sr, eos_id=EOS)
+    assert [w.tokens[0] for w in words] == window

@@ -124,6 +124,41 @@ def test_needs_fallback_gates():
     assert not needs_fallback(-99.0, "loop " * 100, None, None)
 
 
+def test_needs_fallback_no_speech_override():
+    """openai: a confident silence detection overrides BOTH failing gates
+    (needs_fallback = False is set LAST) — silence must not escalate the
+    temperature ladder."""
+    bad_text = "loop " * 100
+    assert needs_fallback(-9.0, bad_text)  # both gates failing
+    assert not needs_fallback(-9.0, bad_text, no_speech_prob=0.9,
+                              no_speech_threshold=0.6)
+    # below the threshold the override stays out of the way
+    assert needs_fallback(-9.0, bad_text, no_speech_prob=0.3,
+                          no_speech_threshold=0.6)
+    # override needs BOTH the probe value and a threshold
+    assert needs_fallback(-9.0, bad_text, no_speech_prob=0.9,
+                          no_speech_threshold=None)
+
+
+def test_fallback_no_speech_override_accepts_first_rung(setup):
+    """decode_with_fallback: with the silence override firing, the t=0
+    result freezes even though the logprob gate can never pass."""
+    dec, params, enc_out = setup
+    temps = (0.0, 0.5, 1.0)
+    kw = dict(key=jax.random.PRNGKey(0), temperatures=temps, beam_size=2,
+              best_of=2, max_len=MAX_LEN, eos_id=EOS,
+              logprob_threshold=10.0)  # logprobs <= 0: never passes
+    r = decode_with_fallback(dec, params, enc_out, PREFIX, **kw,
+                             no_speech_id=5, no_speech_threshold=-1.0)
+    assert r.gates_passed.all()
+    assert (r.temperature == 0.0).all()
+    assert r.no_speech_prob is not None
+    # without the override the same call burns the whole ladder
+    r2 = decode_with_fallback(dec, params, enc_out, PREFIX, **kw,
+                              no_speech_id=5)
+    assert (r2.temperature == temps[-1]).all()
+
+
 def test_fallback_passes_at_t0_when_gates_disabled(setup):
     dec, params, enc_out = setup
     r = decode_with_fallback(

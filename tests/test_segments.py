@@ -66,6 +66,9 @@ def test_time_offset_applied():
 
 def test_strip_timestamps():
     assert strip_timestamps([ts(0), 5, 6, ts(100), 7], TS0) == [5, 6, 7]
+    # with the text upper bound, special ids in [eot, ts0) are dropped too
+    # (openai keeps token < tokenizer.eot)
+    assert strip_timestamps([5, TS0 - 1, 6, ts(3)], TS0, eot=TS0 - 2) == [5, 6]
 
 
 # -- seek-loop integration ----------------------------------------------------

@@ -330,3 +330,17 @@ def test_word_timestamps_merges_punctuation(setup):
                           n_prefix=1, prepend_punctuations=None,
                           append_punctuations=None)
     assert [w.word for w in raw] == ["hi", ",", " em"]
+
+
+def test_token_timestamps_pad_bucketing_bit_identical(setup):
+    """pad_tokens_to runs the forward at a bucketed length but crops the
+    pad rows before the normalization statistics — times must match the
+    unpadded forward exactly (causal attention leaves real rows alone)."""
+    dec, params, enc_out = setup
+    tokens = [1, 2, 10, 11, 12, 3]
+    kw = dict(n_prefix=2, n_drop_last=1)
+    a_starts, a_ends = token_timestamps(dec, params, tokens, enc_out, **kw)
+    b_starts, b_ends = token_timestamps(dec, params, tokens, enc_out, **kw,
+                                        pad_tokens_to=16, pad_id=3)
+    np.testing.assert_array_equal(a_starts, b_starts)
+    np.testing.assert_array_equal(a_ends, b_ends)

@@ -81,11 +81,33 @@ def test_json_roundtrip():
 
 def test_highlight_words():
     srt = _render(write_srt, highlight_words=True)
-    assert "<u>hello</u> world again" in srt
-    assert "hello <u>world</u> again" in srt
+    # cue text is the enclosing SEGMENT's words only (openai behavior),
+    # not the whole transcript
+    assert "<u>hello</u> world\n" in srt
+    assert "hello <u>world</u>\n" in srt
+    assert "again" not in srt.replace("<u>again</u>", "")
     assert "00:00:01,000 --> 00:00:02,500" in srt  # word-level cue times
     vtt = _render(write_vtt, highlight_words=True)
-    assert vtt.startswith("WEBVTT") and "hello world <u>again</u>" in vtt
+    assert vtt.startswith("WEBVTT") and "\n<u>again</u>\n" in vtt
+
+
+def test_line_cues_do_not_span_segments():
+    """max_words_per_line groups WITHIN segments: a cue must not bridge
+    the (possibly silent) gap between two segments."""
+    srt = _render(write_srt, max_words_per_line=5)
+    # 3 words but 2 segments -> 2 cues, split at the segment boundary
+    assert srt.count("-->") == 2
+    assert "hello world\n" in srt and "\nagain\n" in srt
+    assert "00:00:02,500 --> 00:00:04,000" in srt  # seg-1 words only
+
+
+def test_arrow_in_text_sanitized():
+    result = {"text": "a --> b", "segments": [
+        {"start": 0.0, "end": 1.0, "text": "a --> b", "tokens": [1]}]}
+    srt = _render(write_srt, result)
+    assert "a -> b" in srt and srt.count("-->") == 1  # only the cue arrow
+    vtt = _render(write_vtt, result)
+    assert "a -> b" in vtt and vtt.count("-->") == 1
 
 
 def test_no_segments_fallback():

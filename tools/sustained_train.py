@@ -73,6 +73,10 @@ def main() -> None:
     parser.add_argument("--num-workers", type=int, default=4)
     parser.add_argument("--batch-size", type=int, default=4)
     parser.add_argument("--no-remat", action="store_true")
+    parser.add_argument("--loader-only", action="store_true",
+                        help="time pure loader iteration (fetch + collate, "
+                             "no device work) — isolates the host-side "
+                             "bound from the step time")
     parser.add_argument("--out", default=None, help="append the JSON result here")
     args = parser.parse_args()
 
@@ -104,6 +108,34 @@ def main() -> None:
 
     datamodule = DataModule(config)
     datamodule.setup("fit")
+
+    if args.loader_only:
+        loader = datamodule.train_dataloader()
+        n, t0, clips = 0, time.time(), 0
+        times = []
+        for batch in loader:
+            times.append(time.time())
+            clips += int(batch["audio"].shape[0])
+            n += 1
+            if n >= args.steps:
+                break
+        wall = time.time() - t0
+        gaps = np.diff(np.asarray(times)) * 1e3
+        warm = gaps[5:] if len(gaps) > 10 else gaps
+        result = {
+            "mode": "loader_only", "batches": n, "clips": clips,
+            "prefetch": args.prefetch, "num_workers": args.num_workers,
+            "wall_s": round(wall, 1),
+            "clips_per_s": round(clips / wall, 1),
+            "batch_gap_ms_median": round(float(np.median(warm)), 2),
+            "batch_gap_ms_p90": round(float(np.percentile(warm, 90)), 2),
+        }
+        print(json.dumps(result))
+        if args.out:
+            with open(args.out, "a") as f:
+                f.write(json.dumps(result) + "\n")
+        return
+
     net, params = build_net(config, datamodule.vocab_size)
     trainer = Trainer(config, net, tokenizer=datamodule.tokenizer)
     trainer.step_timestamps = []
