@@ -209,11 +209,16 @@ def bench_streaming(net, params, long_chunks: int = 20) -> tuple[float, float, i
             long_chunks * SECONDS_PER_CLIP / dt_long, n_tokens)
 
 
-def bench_train(b: int = 4, iters: int = 5, remat: bool = False) -> dict:
+def bench_train(b: int = 4, iters: int = 5, remat: bool = False,
+                on_device_augment: bool = False) -> dict:
     """Training-step throughput (opt-in via --train): joint CTC+CE step on
     the reference-parity AVNet (frozen whisper-small encoder + frozen MoCo
     ResNet-50 + trainable fusion; reference: train.py:143-170) with AdamW,
-    fwd+bwd+update in one jit. Reports ms/step, clips/sec, and MFU."""
+    fwd+bwd+update in one jit. Reports ms/step, clips/sec, and MFU.
+
+    ``on_device_augment`` fuses the full stochastic augmentation chain
+    (SpecAugment/babble/LN + flip/jitter/gray/time-mask/normalize) into the
+    step, quantifying the device cost of ``augmentation.on_device`` mode."""
     import jax
     import jax.numpy as jnp
     import optax
@@ -225,7 +230,13 @@ def bench_train(b: int = 4, iters: int = 5, remat: bool = False) -> dict:
     net = AVNet("audiovisual", None, 96, (512, 8, 6, 3000, 2048, 0.1), 51865,
                 precision=L.BF16, remat=remat)
     params = net.init(jax.random.PRNGKey(0))
-    task = AVSRTask(net)
+    augment_fn = None
+    if on_device_augment:
+        from mocov2_whisper_flamingo_tpu.config import get_config
+        from mocov2_whisper_flamingo_tpu.ops.augment import make_batch_augment
+
+        augment_fn = make_batch_augment(get_config())
+    task = AVSRTask(net, augment_fn=augment_fn)
     optimizer = optax.adamw(1e-4, b1=0.9, b2=0.98, eps=1e-6, weight_decay=0.01)
     opt_state = optimizer.init(params)
     rng = np.random.default_rng(0)
@@ -278,6 +289,9 @@ def main() -> None:
     parser.add_argument("--train-remat", action="store_true",
                         help="rematerialize the fusion blocks in --train "
                              "(the Trainer's config default)")
+    parser.add_argument("--train-augment", action="store_true",
+                        help="fuse the on-device augmentation chain into "
+                             "the --train step (augmentation.on_device)")
     parser.add_argument("--b16-quant", default=None,
                         choices=(None, "int8", "int8-cross"),
                         help="KV-cache quantization for the B=16 serving leg")
@@ -316,10 +330,12 @@ def main() -> None:
             _os._exit(3)  # the hung init thread cannot be joined
 
     if args.train:
-        r = bench_train(b=args.train_batch, remat=args.train_remat)
+        r = bench_train(b=args.train_batch, remat=args.train_remat,
+                        on_device_augment=args.train_augment)
         print(json.dumps({
             "metric": f"AVNet joint CTC+CE train step "
-                      f"(B={args.train_batch}, fwd+bwd+AdamW)",
+                      f"(B={args.train_batch}, fwd+bwd+AdamW"
+                      f"{'+augment' if args.train_augment else ''})",
             "value": round(r["train_ms_per_step"], 2),
             "unit": "ms/step",
             "clips_per_sec": round(r["train_clips_per_sec"], 2),

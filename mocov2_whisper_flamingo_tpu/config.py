@@ -125,6 +125,14 @@ TRAIN_DEFAULTS = dict(
 )
 
 AUGMENTATION_DEFAULTS = dict(
+    # Run the stochastic train augmentation (SpecAugment, babble mix,
+    # layer-norm, flip/ColorJitter/grayscale/time-mask/normalize) BATCHED
+    # inside the jitted train step instead of per-sample on the host
+    # (ops.augment.make_batch_augment). Off by default for bit-parity with
+    # the reference's host pipeline; turn on when the host cannot feed the
+    # device step (measured 1.1 s/batch host vs 88 ms device step on a
+    # single-core host — BASELINE.md sustained-training entry).
+    on_device=False,
     video=dict(
         train=dict(
             resize=64,
@@ -261,7 +269,12 @@ def get_config(overrides: Iterable[str] | Mapping[str, Any] | None = None) -> Co
                 try:
                     val = ast.literal_eval(raw)
                 except (ValueError, SyntaxError):
-                    val = raw
+                    # lowercase true/false/null read naturally on a CLI but
+                    # are not Python literals — without this, "false" would
+                    # land as a TRUTHY string and silently enable flags
+                    lowered = raw.strip().lower()
+                    val = {"true": True, "false": False,
+                           "null": None, "none": None}.get(lowered, raw)
                 pairs.append((key.strip(), val))
             items = pairs
         for key, val in items:

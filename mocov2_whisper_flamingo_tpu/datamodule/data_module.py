@@ -212,12 +212,18 @@ class DataModule:
         video_cfg = self.config["augmentation"]["video"].get(
             "train" if subset == "train" else "val", {})
         resize = video_cfg.get("resize", 64)
+        # on-device augmentation mode: the train loader emits raw mel +
+        # raw resized frames; the stochastic chain runs inside the jitted
+        # train step (trainer wires ops.augment.make_batch_augment).
+        on_device = bool(self.config["augmentation"].get("on_device", False))
         return AVDataset(
             root_dir=self.root_dir,
             split=split,
             modality=self.modality,
-            audio_transform=AudioTransform(subset, noise_file=self._noise_file),
-            video_transform=VideoTransform(subset, resize=resize),
+            audio_transform=AudioTransform(subset, noise_file=self._noise_file,
+                                           on_device=on_device),
+            video_transform=VideoTransform(subset, resize=resize,
+                                           on_device=on_device),
             rate_ratio=self.rate_ratio,
             max_frames=max_frames,
             tokenizer=self.tokenizer,

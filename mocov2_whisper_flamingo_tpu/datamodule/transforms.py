@@ -132,16 +132,24 @@ class AddNoise:
 
 
 class AudioTransform:
-    """waveform [T] -> normalized mel [3000, 80]."""
+    """waveform [T] -> normalized mel [3000, 80].
+
+    ``on_device=True`` (train subset only): return the RAW unpadded mel
+    [T_real, F] — no SpecAugment, no noise, no layer-norm. The dataset then
+    pads + derives the real-length mask, and the whole stochastic chain
+    runs batched inside the jitted train step
+    (``ops.augment.make_batch_augment``) — the fix for hosts whose
+    per-sample numpy pipeline cannot feed the device step."""
 
     def __init__(self, subset: str, snr_target: float | None = None,
                  noise_file: str | None = None, target_length: int = 3000,
-                 noise_domain: str = "mel"):
+                 noise_domain: str = "mel", on_device: bool = False):
         self.subset = subset
         self.target_length = target_length
         self.noise_domain = noise_domain
+        self.on_device = on_device and subset == "train"
         if subset == "train":
-            self.noise = AddNoise(noise_file)
+            self.noise = AddNoise(noise_file) if not self.on_device else None
         else:
             self.noise = AddNoise(noise_file, snr_target) if snr_target is not None else None
 
@@ -153,6 +161,8 @@ class AudioTransform:
             wave = add_noise_snr(wave[None], _noise_segment(self.noise, len(wave), rng),
                                  float(rng.choice(self.noise.snr_levels)))[0]
         mel = np_reference_mel(wave).T  # [T, F]
+        if self.on_device:
+            return mel[: self.target_length]
         if self.subset == "train":
             mel = spec_augment(mel, rng)
         # pad/trim time to target_length (reference: transforms.py:99-110
@@ -285,11 +295,18 @@ def adaptive_time_mask(frames: np.ndarray, rng: np.random.Generator,
 
 
 class VideoTransform:
-    """[T, C, H, W] uint8/float frames -> normalized float32 [T, C, H', W']."""
+    """[T, C, H, W] uint8/float frames -> normalized float32 [T, C, H', W'].
 
-    def __init__(self, subset: str, resize: int = 64):
+    ``on_device=True`` (train subset only): resize ONLY, returning raw
+    0-255 float32 frames — flip/ColorJitter/grayscale/time-mask/normalize
+    run batched on the TPU inside the jitted train step
+    (``ops.video.train_video_pipeline``). The resize stays on the host so
+    variable source resolutions still collate into one static batch shape."""
+
+    def __init__(self, subset: str, resize: int = 64, on_device: bool = False):
         self.subset = subset
         self.resize = resize
+        self.on_device = on_device and subset == "train"
 
     def __call__(self, frames: np.ndarray, rng: np.random.Generator | None = None) -> np.ndarray:
         if frames.ndim != 4:
@@ -298,6 +315,9 @@ class VideoTransform:
             raise ValueError(f"expected 3 channels, got {frames.shape[1]}")
         rng = rng or np.random.default_rng()
         x = frames.astype(np.float32)
+        if self.on_device:
+            return np.ascontiguousarray(bilinear_resize(x, self.resize),
+                                        dtype=np.float32)
         if self.subset == "train":
             x = bilinear_resize(x, self.resize)
             x = x / 255.0

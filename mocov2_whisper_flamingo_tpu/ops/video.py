@@ -151,20 +151,29 @@ def eval_video_pipeline(frames: jnp.ndarray, resize: int | None = None,
 def train_video_pipeline(
     frames: jnp.ndarray,
     key: jax.Array,
-    resize: int = 64,
+    resize: int | None = 64,
     crop: int | None = None,
     flip_prob: float = 0.5,
     jitter: tuple = (0.4, 0.4, 0.4, 0.1),
     grayscale_prob: float = 0.2,
     time_mask_window: int = 10,
     time_mask_stride: int = 25,
+    lengths: jnp.ndarray | None = None,
 ) -> jnp.ndarray:
     """Batched stochastic train path on [B, T, C, H, W] raw (0-255) frames —
     the fused device twin of the host ``VideoTransform`` train path, in the
     reference op order (reference: transforms.py:66-74): (ROI crop ->)
     resize -> /255 -> random hflip -> ColorJitter -> random grayscale ->
     adaptive time mask -> ImageNet normalize, all in one jit so frames make
-    a single HBM round trip before the visual frontend."""
+    a single HBM round trip before the visual frontend.
+
+    ``resize=None`` skips the resize (frames already at target size, e.g.
+    resized by the host loader in on-device-augmentation mode).
+    ``lengths`` [B]: per-sample real frame counts for pre-padded clips —
+    time masks stay within the real region and pad frames are re-zeroed
+    after normalization (the host path pads AFTER normalize, so its pad
+    rows are exact zeros; the frontend zero-fills features past the length
+    either way)."""
     from mocov2_whisper_flamingo_tpu.ops.augment import adaptive_time_mask
 
     b = frames.shape[0]
@@ -172,7 +181,9 @@ def train_video_pipeline(
     x = frames
     if crop:
         x = center_crop(x, crop)
-    x = resize_bilinear(x, resize) / 255.0
+    if resize is not None and (x.shape[-2] != resize or x.shape[-1] != resize):
+        x = resize_bilinear(x, resize)
+    x = x.astype(jnp.float32) / 255.0
 
     do_flip = jax.random.bernoulli(k_flip, flip_prob, (b,))
     x = jnp.where(do_flip[:, None, None, None, None], x[..., ::-1], x)
@@ -183,7 +194,13 @@ def train_video_pipeline(
     do_gray = jax.random.bernoulli(k_gray, grayscale_prob, (b,))
     x = jnp.where(do_gray[:, None, None, None, None], rgb_to_grayscale(x), x)
 
-    x = adaptive_time_mask(x, k_mask, window=time_mask_window, stride=time_mask_stride)
+    x = adaptive_time_mask(x, k_mask, window=time_mask_window,
+                           stride=time_mask_stride, lengths=lengths)
     mean = jnp.asarray(IMAGENET_MEAN, jnp.float32)[:, None, None]
     std = jnp.asarray(IMAGENET_STD, jnp.float32)[:, None, None]
-    return (x - mean) / std
+    x = (x - mean) / std
+    if lengths is not None:
+        valid = (jnp.arange(x.shape[1])[None, :]
+                 < jnp.asarray(lengths).reshape(b)[:, None])
+        x = x * valid[:, :, None, None, None]
+    return x

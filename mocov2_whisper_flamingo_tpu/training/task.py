@@ -49,6 +49,10 @@ class AVSRTask:
     ctc_blank: int = 0
     pad_to_ignore: bool = False
     loss_mode: str = "ctc_ce"
+    # Optional on-device augmentation ``(batch, key) -> batch`` applied
+    # inside the jitted train step (train=True only) — built by
+    # ``ops.augment.make_batch_augment`` when augmentation.on_device is set.
+    augment_fn: Any = None
 
     # -- losses -----------------------------------------------------------------
 
@@ -90,6 +94,9 @@ class AVSRTask:
 
     def loss_fn(self, params: dict, batch: dict, rng: jax.Array | None = None,
                 train: bool = True) -> tuple[jnp.ndarray, dict]:
+        if train and self.augment_fn is not None and rng is not None:
+            rng, k_aug = jax.random.split(rng)
+            batch = self.augment_fn(batch, k_aug)
         if self.loss_mode == "feature_mse":
             losses = self.feature_mse_losses(params, batch, rng, train)
             return losses["loss"], losses

@@ -128,11 +128,19 @@ class Trainer:
         self.config = config
         self.net = net
         self.tokenizer = tokenizer
+        augment_fn = None
+        if config.get("augmentation", {}).get("on_device"):
+            from mocov2_whisper_flamingo_tpu.ops.augment import make_batch_augment
+
+            augment_fn = make_batch_augment(config)
+            logger.info("on-device train augmentation enabled "
+                        "(host loader emits raw mel / raw resized frames)")
         self.task = AVSRTask(
             net,
             label_smoothing=config["training"]["label_smoothing"],
             pad_to_ignore=bool(config["training"].get("pad_to_ignore", False)),
             loss_mode=config["training"].get("loss_mode", "ctc_ce"),
+            augment_fn=augment_fn,
         )
         self.mesh = make_mesh(
             n_data=config["mesh"].get("data", -1),

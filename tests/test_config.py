@@ -44,3 +44,16 @@ def test_flatten_and_dotted_get():
     assert flat["model.d_model"] == 512
     assert cfg.get_dotted("output.save_top_k") == 3
     assert cfg.get_dotted("no.such.key", 42) == 42
+
+
+def test_override_bool_word_coercion():
+    """CLI-style lowercase true/false/null coerce to real Python values —
+    a truthy "false" string would silently ENABLE boolean flags."""
+    cfg = get_config(["augmentation.on_device=true",
+                      "training.pad_to_ignore=false",
+                      "data.updated_tokenizer_dir=null",
+                      "whisper.language=vietnamese"])
+    assert cfg.augmentation.on_device is True
+    assert cfg.training.pad_to_ignore is False
+    assert cfg.data.updated_tokenizer_dir is None
+    assert cfg.whisper.language == "vietnamese"  # other strings untouched

@@ -73,6 +73,11 @@ def main() -> None:
     parser.add_argument("--num-workers", type=int, default=4)
     parser.add_argument("--batch-size", type=int, default=4)
     parser.add_argument("--no-remat", action="store_true")
+    parser.add_argument("--on-device-augment", action="store_true",
+                        help="augmentation.on_device=True: host loader "
+                             "emits raw mel / raw resized frames; the "
+                             "stochastic augmentation runs inside the "
+                             "jitted train step")
     parser.add_argument("--loader-only", action="store_true",
                         help="time pure loader iteration (fetch + collate, "
                              "no device work) — isolates the host-side "
@@ -104,6 +109,7 @@ def main() -> None:
         "output.log_dir": "/tmp/avsr_sustained_logs",
         "output.checkpoint_dir": "/tmp/avsr_sustained_ckpt",
         **({"precision.rematerialize": False} if args.no_remat else {}),
+        **({"augmentation.on_device": True} if args.on_device_augment else {}),
     })
 
     datamodule = DataModule(config)
@@ -124,6 +130,7 @@ def main() -> None:
         warm = gaps[5:] if len(gaps) > 10 else gaps
         result = {
             "mode": "loader_only", "batches": n, "clips": clips,
+            "on_device_augment": args.on_device_augment,
             "prefetch": args.prefetch, "num_workers": args.num_workers,
             "wall_s": round(wall, 1),
             "clips_per_s": round(clips / wall, 1),
@@ -157,6 +164,7 @@ def main() -> None:
         "prefetch": args.prefetch,
         "num_workers": args.num_workers,
         "remat": not args.no_remat,
+        "on_device_augment": args.on_device_augment,
         "wall_s": round(wall, 1),
         "steady_ms_per_step_median": round(float(np.median(warm)), 2),
         "steady_ms_per_step_mean": round(float(np.mean(warm)), 2),
