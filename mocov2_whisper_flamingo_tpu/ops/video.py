@@ -81,8 +81,14 @@ def _hsv_to_rgb(img: jnp.ndarray) -> jnp.ndarray:
     i = i.astype(jnp.int32) % 6
 
     def pick(choices):
-        stacked = jnp.stack(choices)  # [6, ...]
-        return jnp.take_along_axis(stacked, i[None], axis=0)[0]
+        # elementwise select chain, NOT a stacked take_along_axis: general
+        # gathers over [6, B, T, H, W] operands lower to scatter/gather
+        # loops on TPU (~100x slow, CLAUDE.md); six fused selects are pure
+        # VPU work.
+        out = choices[0]
+        for k in range(1, 6):
+            out = jnp.where(i == k, choices[k], out)
+        return out
 
     return jnp.stack([
         pick([v, q, p, p, t, v]),

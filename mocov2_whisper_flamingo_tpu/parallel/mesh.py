@@ -21,7 +21,6 @@ import re
 from typing import Any
 
 import jax
-import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
@@ -118,6 +117,18 @@ def param_sharding(mesh: Mesh, params: Any,
         name = _path_str(path)
         for pattern, spec in rules:
             if re.match(pattern, name):
+                # Drop mesh axes of extent 1 from the spec: sharding over a
+                # trivial axis is physically replication, and GSPMD
+                # CANONICALIZES jit outputs to P() for such leaves — a
+                # non-canonical input spec would make the step's output
+                # signature differ from its input signature and force a
+                # SECOND full compile of every batch shape (measured 30-90 s
+                # per compile through the axon tunnel).
+                spec = P(*(axis if axis is not None
+                           and mesh.shape[axis] > 1 else None
+                           for axis in spec))
+                if not any(axis is not None for axis in spec):
+                    break  # fully trivial -> replicated
                 # Validate divisibility of every sharded dim.
                 ok = True
                 for dim, axis in enumerate(spec):
@@ -163,6 +174,9 @@ def batch_sharding(mesh: Mesh, tree: Any, per_host: bool = False) -> Any:
     def resolve(leaf):
         ndim = getattr(leaf, "ndim", 0)
         if ndim >= 1 and leaf.shape[0] % div == 0:
+            # canonical form on a trivial data axis (see param_sharding)
+            if mesh.shape[DATA_AXIS] == 1:
+                return NamedSharding(mesh, P())
             return NamedSharding(mesh, P(DATA_AXIS))
         if per_host and ndim >= 1:
             raise ValueError(
@@ -189,8 +203,11 @@ def put_host_local_batch(mesh: Mesh, batch: Any) -> Any:
     multi = jax.process_count() > 1
     shardings = batch_sharding(mesh, batch, per_host=multi)
     if not multi:
+        # device_put straight from host memory: jnp.asarray first would
+        # commit the leaf to the default device (a full H2D) and then
+        # re-place it against the sharding — two transfers per leaf.
         return jax.tree.map(
-            lambda x, s: jax.device_put(jnp.asarray(x), s), batch, shardings)
+            lambda x, s: jax.device_put(x, s), batch, shardings)
     return jax.tree.map(
         lambda x, s: jax.make_array_from_process_local_data(s, np.asarray(x)),
         batch, shardings)

@@ -236,6 +236,20 @@ class Trainer:
             self.config["training"], max(total_steps // accum, 1), mask,
             decay_mask=decay_mask)
         opt_state = self.optimizer.init(params)
+        # Canonicalize the eagerly-created opt-state scalars (MultiSteps'
+        # mini_step, Adam's count) onto the mesh: jit returns every leaf
+        # with a NamedSharding, so a SingleDeviceSharding input here would
+        # change the step's arg signature after the first call and force a
+        # SECOND full compile of every batch shape (30-90 s each through
+        # the axon tunnel; measured via step._cache_size()).
+        from jax.sharding import NamedSharding, PartitionSpec
+
+        rep = NamedSharding(self.mesh, PartitionSpec())
+        opt_state = jax.tree.map(
+            lambda x: jax.device_put(x, rep)
+            if isinstance(x, jax.Array)
+            and not isinstance(x.sharding, NamedSharding) else x,
+            opt_state)
 
         step = self.task.make_train_step(self.optimizer)
         self._step_fn = jax.jit(step, donate_argnums=(0, 1))
