@@ -272,7 +272,14 @@ class DataModule:
             else:
                 n_model = int(self.config["mesh"].get("model", 1) or 1)
                 min_size = max(jax.local_device_count() // n_model, 1)
-            base = QuantizedBatchSampler(base, batch_size, min_size=min_size)
+            # Single-host EVAL must not wrap-pad short remainders: duplicate
+            # rows inflate sample counts / WER weighting. An unpadded tail
+            # just takes batch_sharding's replicated fallback. Train keeps
+            # padding (duplicates are the reference DistributedSampler's own
+            # trade; avoids odd-size recompiles). Multi-host always pads —
+            # per-host sharding rejects indivisible pieces.
+            base = QuantizedBatchSampler(base, batch_size, min_size=min_size,
+                                         pad_remainder=multi_host or shuffle)
         if multi_host:
             return ShardedSampler(base, jax.process_count(), jax.process_index(),
                                   shuffle=shuffle, seed=self.seed)

@@ -97,10 +97,19 @@ class QuantizedBatchSampler:
     remainder smaller than ``min_size`` is padded UP to it by wrapping
     indices from the same packed batch (duplicate samples — the same
     trade the reference's DistributedSampler makes when it pads ranks,
-    reference: data_module.py:84-106)."""
+    reference: data_module.py:84-106).
 
-    def __init__(self, sampler, max_batch_size: int, min_size: int = 1):
+    ``pad_remainder=False`` passes the short remainder through unpadded
+    instead. Required for single-host EVAL: duplicated rows would inflate
+    sample counts and WER weighting; an indivisible tail piece merely
+    falls back to replicated placement (``batch_sharding``'s P() path) —
+    correct, one extra compile. Multi-host must keep padding (per-host
+    sharding rejects indivisible pieces)."""
+
+    def __init__(self, sampler, max_batch_size: int, min_size: int = 1,
+                 pad_remainder: bool = True):
         self.sampler = sampler
+        self.pad_remainder = bool(pad_remainder)
         self.min_size = max(int(min_size), 1)
         self.allowed = []
         size = self.min_size
@@ -117,10 +126,13 @@ class QuantizedBatchSampler:
                     pieces.append(batch[start : start + size])
                     start += size
                     break
-            else:  # remainder < min_size: wrap-pad from the batch front
+            else:  # remainder < min_size
                 piece = np.asarray(batch[start:])
-                pad = np.resize(np.asarray(batch), self.min_size - len(piece))
-                pieces.append(np.concatenate([piece, pad]))
+                if self.pad_remainder:  # wrap-pad from the batch front
+                    pad = np.resize(np.asarray(batch),
+                                    self.min_size - len(piece))
+                    piece = np.concatenate([piece, pad])
+                pieces.append(piece)
                 start = n
         return pieces
 

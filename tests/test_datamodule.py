@@ -249,6 +249,27 @@ def test_quantized_batch_sampler_min_size():
     assert len(q) == len(pieces)
 
 
+def test_quantized_batch_sampler_no_pad_remainder():
+    """pad_remainder=False (single-host eval): the short tail passes
+    through unpadded — no duplicated samples to inflate eval counts/WER
+    weighting; exact multiset of inputs preserved."""
+    from mocov2_whisper_flamingo_tpu.datamodule.samplers import QuantizedBatchSampler
+
+    class FakeSampler(list):
+        def set_epoch(self, e):
+            pass
+
+    base = FakeSampler([np.arange(11), np.arange(11, 14), np.arange(14, 15)])
+    q = QuantizedBatchSampler(base, max_batch_size=8, min_size=4,
+                              pad_remainder=False)
+    pieces = list(q)
+    # exact partition: no sample dropped, none duplicated, order kept
+    assert [int(x) for p in pieces for x in p] == list(range(15))
+    # full-size pieces still quantized; only tails may be short
+    assert all(len(p) in (4, 8) or len(p) < 4 for p in pieces)
+    assert len(q) == len(pieces)
+
+
 def test_sharded_sampler_size_aligned_across_ranks():
     """At every step, all ranks hold a batch of the SAME size (multi-host
     global-shape agreement — round-2 advisor finding), shuffle included,
