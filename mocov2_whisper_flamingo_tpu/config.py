@@ -133,6 +133,13 @@ AUGMENTATION_DEFAULTS = dict(
     # device step (measured 1.1 s/batch host vs 88 ms device step on a
     # single-core host — BASELINE.md sustained-training entry).
     on_device=False,
+    # With on_device: the train loader ships the RAW 16 kHz waveform and the
+    # mel itself is computed on the MXU inside the jitted step
+    # (ops.mel.reference_mel matmul-DFT) — removes the host STFT, the single
+    # largest per-sample host cost (~25 ms/clip on a 1-core host). The host
+    # writes the 200-sample reflect tail into the padding so the device mel
+    # is bit-matched to the host STFT over the real frames.
+    on_device_mel=False,
     video=dict(
         train=dict(
             resize=64,

@@ -216,12 +216,14 @@ class DataModule:
         # raw resized frames; the stochastic chain runs inside the jitted
         # train step (trainer wires ops.augment.make_batch_augment).
         on_device = bool(self.config["augmentation"].get("on_device", False))
+        on_device_mel = bool(self.config["augmentation"].get("on_device_mel", False))
         return AVDataset(
             root_dir=self.root_dir,
             split=split,
             modality=self.modality,
             audio_transform=AudioTransform(subset, noise_file=self._noise_file,
-                                           on_device=on_device),
+                                           on_device=on_device,
+                                           on_device_mel=on_device_mel),
             video_transform=VideoTransform(subset, resize=resize,
                                            on_device=on_device),
             rate_ratio=self.rate_ratio,

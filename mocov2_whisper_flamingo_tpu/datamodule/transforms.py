@@ -139,15 +139,24 @@ class AudioTransform:
     pads + derives the real-length mask, and the whole stochastic chain
     runs batched inside the jitted train step
     (``ops.augment.make_batch_augment``) — the fix for hosts whose
-    per-sample numpy pipeline cannot feed the device step."""
+    per-sample numpy pipeline cannot feed the device step.
+
+    ``on_device_mel=True`` (with ``on_device``, train subset only): skip the
+    host STFT entirely and return the RAW 1-D float32 waveform; the dataset
+    packs it (pad + reflect tail, ``av_dataset.pack_waveform``) and the mel
+    is computed on the MXU inside the jitted step
+    (``ops.mel.reference_mel``). The host STFT is the single largest
+    per-sample loader cost (~25 ms/clip on a 1-core host)."""
 
     def __init__(self, subset: str, snr_target: float | None = None,
                  noise_file: str | None = None, target_length: int = 3000,
-                 noise_domain: str = "mel", on_device: bool = False):
+                 noise_domain: str = "mel", on_device: bool = False,
+                 on_device_mel: bool = False):
         self.subset = subset
         self.target_length = target_length
         self.noise_domain = noise_domain
         self.on_device = on_device and subset == "train"
+        self.emits_waveform = self.on_device and on_device_mel
         if subset == "train":
             self.noise = AddNoise(noise_file) if not self.on_device else None
         else:
@@ -160,6 +169,8 @@ class AudioTransform:
         if self.noise_domain == "waveform" and self.noise is not None and self.noise.noise is not None:
             wave = add_noise_snr(wave[None], _noise_segment(self.noise, len(wave), rng),
                                  float(rng.choice(self.noise.snr_levels)))[0]
+        if self.emits_waveform:
+            return np.ascontiguousarray(wave, dtype=np.float32)
         mel = np_reference_mel(wave).T  # [T, F]
         if self.on_device:
             return mel[: self.target_length]
@@ -298,10 +309,16 @@ class VideoTransform:
     """[T, C, H, W] uint8/float frames -> normalized float32 [T, C, H', W'].
 
     ``on_device=True`` (train subset only): resize ONLY, returning raw
-    0-255 float32 frames — flip/ColorJitter/grayscale/time-mask/normalize
+    0-255 **uint8** frames — flip/ColorJitter/grayscale/time-mask/normalize
     run batched on the TPU inside the jitted train step
-    (``ops.video.train_video_pipeline``). The resize stays on the host so
-    variable source resolutions still collate into one static batch shape."""
+    (``ops.video.train_video_pipeline``, which casts to f32 on-chip). The
+    resize stays on the host so variable source resolutions still collate
+    into one static batch shape. uint8 quarters the host->device transfer
+    (31 MB -> 7.9 MB per B=4 batch of 400 frames) and skips the host f32
+    copy; when the source clip is already at the target size the frames
+    pass through untouched. Rounding the resized values to uint8 perturbs
+    the augmentation input by at most 0.5/255 — invisible downstream of the
+    stochastic jitter chain."""
 
     def __init__(self, subset: str, resize: int = 64, on_device: bool = False):
         self.subset = subset
@@ -314,10 +331,16 @@ class VideoTransform:
         if frames.shape[1] != 3:
             raise ValueError(f"expected 3 channels, got {frames.shape[1]}")
         rng = rng or np.random.default_rng()
-        x = frames.astype(np.float32)
         if self.on_device:
-            return np.ascontiguousarray(bilinear_resize(x, self.resize),
-                                        dtype=np.float32)
+            if frames.shape[-2:] == (self.resize, self.resize):
+                if frames.dtype == np.uint8:
+                    return np.ascontiguousarray(frames)
+                return np.ascontiguousarray(
+                    np.clip(np.rint(frames), 0, 255).astype(np.uint8))
+            x = bilinear_resize(frames.astype(np.float32), self.resize)
+            return np.ascontiguousarray(
+                np.clip(np.rint(x), 0, 255).astype(np.uint8))
+        x = frames.astype(np.float32)
         if self.subset == "train":
             x = bilinear_resize(x, self.resize)
             x = x / 255.0

@@ -208,8 +208,11 @@ def make_batch_augment(config, np_module=None):
     88 ms device step (BASELINE.md sustained-training entry).
 
     Expected batch layout (from ``AVDataset`` in on-device mode):
-    ``audio`` [B, 3000, 80] RAW mel (no augment/LN), ``audio_mask``
-    [B, 3000] True=valid, ``video`` [B, T, C, H, W] float32 RAW 0-255
+    ``audio`` [B, 3000, 80] RAW mel (no augment/LN) — or, with
+    ``augmentation.on_device_mel``, [B, 480000] packed raw waveform
+    (``av_dataset.pack_waveform``; the mel itself then runs as matmul-DFT
+    on the MXU, removing the host STFT entirely) — ``audio_mask``
+    [B, 3000] True=valid, ``video`` [B, T, C, H, W] uint8 RAW 0-255
     (resized only), ``video_lengths`` [B].
 
     Documented distribution deviations vs the host path (both harmless to
@@ -248,13 +251,29 @@ def make_batch_augment(config, np_module=None):
         ka, kv = jax.random.split(key)
         out = dict(batch)
         if batch.get("audio") is not None:
-            mel_tf = batch["audio"]  # [B, T, F]
+            audio = batch["audio"]
             lengths = None
             if batch.get("audio_mask") is not None:
                 lengths = jnp.sum(batch["audio_mask"].astype(jnp.int32), axis=-1)
+            if audio.ndim == 2:
+                # on_device_mel mode: [B, S] packed raw waveform
+                # (av_dataset.pack_waveform) — mel on the MXU. The reflect
+                # tail in the padding makes real frames bit-match the host
+                # STFT; frames past the real count are computed from the
+                # tail/zeros and masked out here.
+                from mocov2_whisper_flamingo_tpu.ops.mel import reference_mel
+
+                t_len = batch["audio_mask"].shape[-1]  # 3000
+                mel_ft = reference_mel(audio)[..., :t_len]  # [B, F, T]
+                if lengths is not None:
+                    valid = jnp.arange(t_len)[None, :] < lengths[:, None]
+                    mel_ft = mel_ft * valid[:, None, :]
+            else:
+                mel_ft = jnp.swapaxes(audio, -1, -2)  # [B, T, F] -> [B, F, T]
+                t_len = audio.shape[-2]
             out["audio"] = train_audio_pipeline(
-                jnp.swapaxes(mel_tf, -1, -2), ka, noise_bed=noise_bed,
-                target_length=mel_tf.shape[-2], lengths=lengths,
+                mel_ft, ka, noise_bed=noise_bed,
+                target_length=t_len, lengths=lengths,
                 spec_augment_kwargs=spec_kwargs, snr_levels=snr_levels)
         if batch.get("video") is not None:
             x = train_video_pipeline(

@@ -137,6 +137,72 @@ def test_make_batch_augment_audio_only():
     assert np.isfinite(np.asarray(out["audio"])).all()
 
 
+# -- on-device mel (waveform shipping) ----------------------------------------
+
+
+def test_pack_waveform_device_mel_matches_host_stft():
+    """The packed buffer's reflect tail makes the device matmul-DFT mel
+    reproduce the host's unpadded centered-reflect STFT over the real
+    frames (the frames past t_real are masked by the batched augment)."""
+    from mocov2_whisper_flamingo_tpu.datamodule.av_dataset import pack_waveform
+    from mocov2_whisper_flamingo_tpu.datamodule.transforms import np_reference_mel
+    from mocov2_whisper_flamingo_tpu.ops.mel import reference_mel
+
+    rng = np.random.default_rng(3)
+    wave = (rng.standard_normal(50_000) * 0.3).astype(np.float32)
+    host = np_reference_mel(wave).T[:3000]  # [T_real, 80]
+    buf, t_real = pack_waveform(wave)
+    assert buf.shape == (480_000,)
+    assert t_real == 1 + len(wave) // 160 == host.shape[0]
+    dev = np.asarray(reference_mel(jnp.asarray(buf)[None])[0]).T  # [T, 80]
+    np.testing.assert_allclose(dev[:t_real], host, rtol=5e-4, atol=1e-2)
+
+
+def test_pack_waveform_trims_long_audio():
+    from mocov2_whisper_flamingo_tpu.datamodule.av_dataset import pack_waveform
+
+    wave = np.ones(500_000, np.float32)
+    buf, t_real = pack_waveform(wave)
+    assert buf.shape == (480_000,) and t_real == 3000
+    assert (buf == 1).all()  # no tail written: the buffer is all real signal
+
+
+def test_make_batch_augment_waveform_mode_matches_mel_mode():
+    """Same key -> the waveform branch (mel on the MXU) and the mel branch
+    (host-computed raw mel) produce the same augmented features."""
+    from mocov2_whisper_flamingo_tpu.datamodule.av_dataset import pack_waveform
+    from mocov2_whisper_flamingo_tpu.datamodule.transforms import np_reference_mel
+
+    rng = np.random.default_rng(4)
+    waves = [(rng.standard_normal(n) * 0.2).astype(np.float32)
+             for n in (40_000, 64_000)]
+    packed = [pack_waveform(w) for w in waves]
+    mask = np.zeros((2, 3000), bool)
+    for i, (_, t_real) in enumerate(packed):
+        mask[i, :t_real] = True
+
+    cfg_wf = get_config({"augmentation.on_device": True,
+                         "augmentation.on_device_mel": True})
+    fn_wf = jax.jit(augment.make_batch_augment(cfg_wf))
+    wf_batch = {"audio": jnp.asarray(np.stack([b for b, _ in packed])),
+                "audio_mask": jnp.asarray(mask),
+                "video": None, "video_lengths": None}
+    out_wf = np.asarray(fn_wf(wf_batch, jax.random.PRNGKey(7))["audio"])
+
+    mels = np.zeros((2, 3000, 80), np.float32)
+    for i, w in enumerate(waves):
+        m = np_reference_mel(w).T[:3000]
+        mels[i, : m.shape[0]] = m
+    fn_mel = jax.jit(augment.make_batch_augment(
+        get_config({"augmentation.on_device": True})))
+    mel_batch = {"audio": jnp.asarray(mels), "audio_mask": jnp.asarray(mask),
+                 "video": None, "video_lengths": None}
+    out_mel = np.asarray(fn_mel(mel_batch, jax.random.PRNGKey(7))["audio"])
+
+    assert np.isfinite(out_wf).all()
+    np.testing.assert_allclose(out_wf, out_mel, rtol=1e-3, atol=1e-3)
+
+
 # -- raw-mode dataset / datamodule contract -----------------------------------
 
 
@@ -188,18 +254,61 @@ def test_datamodule_on_device_mode_emits_raw_batches(raw_root):
     np.testing.assert_array_equal(
         train_batch["audio_lengths"],
         np.minimum((real / 7.5).astype(int), 400))
-    # video: raw 0-255 scale, host-resized to the configured size
+    # video: raw 0-255 uint8 (quarter the host->device transfer of f32),
+    # host-resized to the configured size
     assert train_batch["video"].shape[-1] == 24
+    assert train_batch["video"].dtype == np.uint8
     assert train_batch["video"].max() > 10
-    # val stays fully host-processed (normalized, no resize in val path)
+    # val stays fully host-processed (normalized f32, no resize in val path)
     val_batch = next(iter(dm.val_dataloader()))
     assert val_batch["video"].shape[-1] == 32
+    assert val_batch["video"].dtype == np.float32
     assert val_batch["video"].min() < -0.5  # ImageNet-normalized
 
 
-def test_trainer_on_device_augment_end_to_end(raw_root, tmp_path):
+def test_datamodule_on_device_mel_mode_ships_waveform(raw_root):
+    from mocov2_whisper_flamingo_tpu.datamodule.data_module import DataModule
+
+    cfg = get_config({
+        "data.root_dir": raw_root,
+        "data.batch_size": 2,
+        "data.max_frames": 16,
+        "data.max_frames_val": 16,
+        "data.num_workers": 0,
+        "augmentation.on_device": True,
+        "augmentation.on_device_mel": True,
+        "augmentation.video.train.resize": 24,
+    })
+    dm = DataModule(cfg)
+    dm.setup("fit")
+    batch = next(iter(dm.train_dataloader()))
+    b = batch["audio"].shape[0]
+    # train audio is the packed raw waveform; mel runs on-device
+    assert batch["audio"].shape[1:] == (480_000,)
+    assert batch["audio"].dtype == np.float32
+    real = batch["audio_mask"].sum(axis=1)
+    assert (real > 0).all() and (real < 3000).all()
+    np.testing.assert_array_equal(
+        batch["audio_lengths"], np.minimum((real / 7.5).astype(int), 400))
+    assert b >= 2  # quantized to the virtual-device count
+    # the augment turns it into the model's [B, 3000, 80] features
+    fn = jax.jit(augment.make_batch_augment(cfg))
+    out = np.asarray(fn({"audio": jnp.asarray(batch["audio"]),
+                         "audio_mask": jnp.asarray(batch["audio_mask"]),
+                         "video": None, "video_lengths": None},
+                        jax.random.PRNGKey(0))["audio"])
+    assert out.shape == (b, 3000, 80) and np.isfinite(out).all()
+    # val path is unaffected (host-processed mel)
+    val_batch = next(iter(dm.val_dataloader()))
+    assert val_batch["audio"].shape[1:] == (3000, 80)
+
+
+@pytest.mark.parametrize("on_device_mel", [False, True])
+def test_trainer_on_device_augment_end_to_end(raw_root, tmp_path, on_device_mel):
     """Full wiring: DataModule raw mode -> Trainer builds augment_fn ->
-    jitted train step augments + updates, finite losses."""
+    jitted train step augments + updates, finite losses. With
+    ``on_device_mel`` the loader ships the packed waveform and the step
+    computes the mel on-device."""
     from mocov2_whisper_flamingo_tpu.datamodule.data_module import DataModule
     from mocov2_whisper_flamingo_tpu.models.av_net import AVNet
     from mocov2_whisper_flamingo_tpu.models.whisper import (
@@ -220,6 +329,7 @@ def test_trainer_on_device_augment_end_to_end(raw_root, tmp_path):
         "output.log_dir": str(tmp_path / "logs"),
         "output.log_every_n_steps": 1,
         "augmentation.on_device": True,
+        "augmentation.on_device_mel": on_device_mel,
         "augmentation.video.train.resize": 24,
     })
     dm = DataModule(cfg)

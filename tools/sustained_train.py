@@ -78,6 +78,11 @@ def main() -> None:
                              "emits raw mel / raw resized frames; the "
                              "stochastic augmentation runs inside the "
                              "jitted train step")
+    parser.add_argument("--on-device-mel", action="store_true",
+                        help="augmentation.on_device_mel=True (with "
+                             "--on-device-augment): host ships the packed "
+                             "raw waveform; the mel runs as matmul-DFT on "
+                             "the MXU inside the jitted step")
     parser.add_argument("--loader-only", action="store_true",
                         help="time pure loader iteration (fetch + collate, "
                              "no device work) — isolates the host-side "
@@ -110,6 +115,7 @@ def main() -> None:
         "output.checkpoint_dir": "/tmp/avsr_sustained_ckpt",
         **({"precision.rematerialize": False} if args.no_remat else {}),
         **({"augmentation.on_device": True} if args.on_device_augment else {}),
+        **({"augmentation.on_device_mel": True} if args.on_device_mel else {}),
     })
 
     datamodule = DataModule(config)
@@ -131,6 +137,7 @@ def main() -> None:
         result = {
             "mode": "loader_only", "batches": n, "clips": clips,
             "on_device_augment": args.on_device_augment,
+            "on_device_mel": args.on_device_mel,
             "prefetch": args.prefetch, "num_workers": args.num_workers,
             "wall_s": round(wall, 1),
             "clips_per_s": round(clips / wall, 1),
@@ -165,6 +172,7 @@ def main() -> None:
         "num_workers": args.num_workers,
         "remat": not args.no_remat,
         "on_device_augment": args.on_device_augment,
+        "on_device_mel": args.on_device_mel,
         "wall_s": round(wall, 1),
         "steady_ms_per_step_median": round(float(np.median(warm)), 2),
         "steady_ms_per_step_mean": round(float(np.mean(warm)), 2),
