@@ -176,27 +176,33 @@ def np_whisper_log_mel(wave: np.ndarray, pad_to: int = 480_000,
     return ((log_spec + 4.0) / 4.0).T.astype(np.float32)
 
 
-def pack_waveform(wave: np.ndarray, n_samples: int = 480_000, hop: int = 160,
-                  n_fft: int = 400, max_frames: int = 3000
+# 30 s of 16 kHz audio plus one n_fft//2 continuation slot: the extra 200
+# samples guarantee the reflect tail always fits, so EVERY in-mask mel
+# frame of the packed buffer is bit-matched to the host STFT (without them,
+# clips within 200 samples of 30 s would lose the tail to the buffer end).
+PACKED_WAVE_LEN = 480_000 + 200
+
+
+def pack_waveform(wave: np.ndarray, n_samples: int = PACKED_WAVE_LEN,
+                  hop: int = 160, n_fft: int = 400, max_frames: int = 3000
                   ) -> tuple[np.ndarray, int]:
     """Pack a raw waveform for on-device mel (``augmentation.on_device_mel``):
-    trim/zero-pad to ``n_samples`` (30 s) and write the ``n_fft//2``-sample
-    REFLECT tail of the real signal into the padding.
+    trim/zero-pad to ``n_samples`` (30 s + an ``n_fft//2`` continuation
+    slot) and write the ``n_fft//2``-sample REFLECT tail of the real signal
+    into the padding.
 
     With the tail in place, every centered-STFT frame of the padded buffer
     whose index is < the real frame count sees exactly the samples the
     host's unpadded reflect-padded STFT (``np_reference_mel``) would see —
     so ``ops.mel.reference_mel`` on the device reproduces the host mel
-    bit-near over the real region (frames past it are masked to zero by the
-    batched augment). For audio longer than ``n_samples`` the final ~2
-    frames straddle the 30 s truncation point and see the buffer's own
-    reflect continuation instead of the clipped-off samples — the same
-    boundary the reference's hard 3000-frame trim already discards into.
-    Returns ``(buffer [n_samples] f32, real mel frames)``.
+    bit-near over the entire real region, for any input length (frames past
+    it are masked to zero by the batched augment). Returns
+    ``(buffer [n_samples] f32, real mel frames)``.
     """
     wave = np.asarray(wave, dtype=np.float32)
     length = min(len(wave), n_samples)
-    t_real = min(1 + length // hop, max_frames)
+    # Frame count the reference pipeline would produce from the 30 s trim.
+    t_real = min(1 + min(length, n_samples - n_fft // 2) // hop, max_frames)
     buf = np.zeros(n_samples, np.float32)
     buf[:length] = wave[:length]
     if length < n_samples and length >= 2:
@@ -317,34 +323,41 @@ class AVDataset:
 
     def _get_empty_sample(self) -> dict:
         """Zero sample with correct shapes — per-sample fault tolerance
-        (reference: av_dataset.py:140-155). Shapes/dtypes follow the
-        transforms' emission mode so a failed sample still collates into
-        the same static batch layout (uint8 raw frames in on-device mode,
-        [480000] waveform in on-device-mel mode)."""
-        video_on_device = bool(getattr(self.video_transform, "on_device", False))
-        # train-path frames are resized to the transform's target size (the
-        # val path keeps the source resolution, reference quirk) — the empty
-        # sample must match or a single failed sample breaks the collate.
-        if video_on_device or getattr(self.video_transform, "subset", None) == "train":
-            v_size = getattr(self.video_transform, "resize", self.frame_size)
-        else:
-            v_size = self.frame_size
-        if getattr(self.audio_transform, "emits_waveform", False):
-            audio = np.zeros(480_000, np.float32)
-        else:
-            audio = np.zeros((3000, 80), np.float32)
-        return {
-            "video": np.zeros((self.max_frames, 3, v_size, v_size),
-                              np.uint8 if video_on_device else np.float32),
-            "video_mask": np.zeros(self.max_frames, bool),
-            "video_lengths": np.int32(0),
-            "audio": audio,
-            "audio_mask": np.zeros(3000, bool),
-            "audio_lengths": np.int32(0),
+        (reference: av_dataset.py:140-155). Keys and shapes/dtypes follow
+        the active modality and the transforms' emission mode so a failed
+        sample still collates into the same static batch layout (uint8 raw
+        frames in on-device mode, packed waveform in on-device-mel mode;
+        only the keys real samples carry, or collate's key probe breaks)."""
+        out = {
             "target_ids": np.zeros(1, np.int64),
             "target_text": "",
             "target_lengths": np.int32(1),
         }
+        if self.modality in ("video", "audiovisual"):
+            video_on_device = bool(getattr(self.video_transform, "on_device",
+                                           False))
+            # train-path frames are resized to the transform's target size
+            # (the val path keeps the source resolution, reference quirk) —
+            # the empty sample must match or one failed sample breaks the
+            # collate.
+            if (video_on_device
+                    or getattr(self.video_transform, "subset", None) == "train"):
+                v_size = getattr(self.video_transform, "resize", self.frame_size)
+            else:
+                v_size = self.frame_size
+            out["video"] = np.zeros(
+                (self.max_frames, 3, v_size, v_size),
+                np.uint8 if video_on_device else np.float32)
+            out["video_mask"] = np.zeros(self.max_frames, bool)
+            out["video_lengths"] = np.int32(0)
+        if self.modality in ("audio", "audiovisual"):
+            if getattr(self.audio_transform, "emits_waveform", False):
+                out["audio"] = np.zeros(PACKED_WAVE_LEN, np.float32)
+            else:
+                out["audio"] = np.zeros((3000, 80), np.float32)
+            out["audio_mask"] = np.zeros(3000, bool)
+            out["audio_lengths"] = np.int32(0)
+        return out
 
     def __getitem__(self, idx: int) -> dict:
         try:

@@ -217,6 +217,11 @@ class DataModule:
         # train step (trainer wires ops.augment.make_batch_augment).
         on_device = bool(self.config["augmentation"].get("on_device", False))
         on_device_mel = bool(self.config["augmentation"].get("on_device_mel", False))
+        if on_device_mel and not on_device:
+            raise ValueError(
+                "augmentation.on_device_mel requires augmentation.on_device "
+                "(the waveform is consumed by the on-device augment step; "
+                "without it the host mel would silently run instead)")
         return AVDataset(
             root_dir=self.root_dir,
             split=split,

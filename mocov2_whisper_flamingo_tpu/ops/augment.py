@@ -209,7 +209,7 @@ def make_batch_augment(config, np_module=None):
 
     Expected batch layout (from ``AVDataset`` in on-device mode):
     ``audio`` [B, 3000, 80] RAW mel (no augment/LN) — or, with
-    ``augmentation.on_device_mel``, [B, 480000] packed raw waveform
+    ``augmentation.on_device_mel``, [B, 480200] packed raw waveform
     (``av_dataset.pack_waveform``; the mel itself then runs as matmul-DFT
     on the MXU, removing the host STFT entirely) — ``audio_mask``
     [B, 3000] True=valid, ``video`` [B, T, C, H, W] uint8 RAW 0-255
@@ -261,9 +261,10 @@ def make_batch_augment(config, np_module=None):
                 # tail in the padding makes real frames bit-match the host
                 # STFT; frames past the real count are computed from the
                 # tail/zeros and masked out here.
-                from mocov2_whisper_flamingo_tpu.ops.mel import reference_mel
+                from mocov2_whisper_flamingo_tpu.ops.mel import N_FRAMES, reference_mel
 
-                t_len = batch["audio_mask"].shape[-1]  # 3000
+                t_len = (batch["audio_mask"].shape[-1]
+                         if batch.get("audio_mask") is not None else N_FRAMES)
                 mel_ft = reference_mel(audio)[..., :t_len]  # [B, F, T]
                 if lengths is not None:
                     valid = jnp.arange(t_len)[None, :] < lengths[:, None]

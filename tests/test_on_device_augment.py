@@ -148,23 +148,63 @@ def test_pack_waveform_device_mel_matches_host_stft():
     from mocov2_whisper_flamingo_tpu.datamodule.transforms import np_reference_mel
     from mocov2_whisper_flamingo_tpu.ops.mel import reference_mel
 
+    from mocov2_whisper_flamingo_tpu.datamodule.av_dataset import PACKED_WAVE_LEN
+
     rng = np.random.default_rng(3)
-    wave = (rng.standard_normal(50_000) * 0.3).astype(np.float32)
-    host = np_reference_mel(wave).T[:3000]  # [T_real, 80]
-    buf, t_real = pack_waveform(wave)
-    assert buf.shape == (480_000,)
-    assert t_real == 1 + len(wave) // 160 == host.shape[0]
-    dev = np.asarray(reference_mel(jnp.asarray(buf)[None])[0]).T  # [T, 80]
-    np.testing.assert_allclose(dev[:t_real], host, rtol=5e-4, atol=1e-2)
+    # 479,900 samples exercises the near-30 s corner: the reflect tail only
+    # fits because the buffer carries an extra n_fft//2 continuation slot.
+    for n in (50_000, 479_900):
+        wave = (rng.standard_normal(n) * 0.3).astype(np.float32)
+        host = np_reference_mel(wave).T[:3000]  # [T_real, 80]
+        buf, t_real = pack_waveform(wave)
+        assert buf.shape == (PACKED_WAVE_LEN,)
+        assert t_real == min(1 + n // 160, 3000) == host.shape[0]
+        dev = np.asarray(reference_mel(jnp.asarray(buf)[None])[0]).T  # [T, 80]
+        np.testing.assert_allclose(dev[:t_real], host, rtol=5e-4, atol=1e-2)
 
 
 def test_pack_waveform_trims_long_audio():
-    from mocov2_whisper_flamingo_tpu.datamodule.av_dataset import pack_waveform
+    from mocov2_whisper_flamingo_tpu.datamodule.av_dataset import (
+        PACKED_WAVE_LEN, pack_waveform)
 
     wave = np.ones(500_000, np.float32)
     buf, t_real = pack_waveform(wave)
-    assert buf.shape == (480_000,) and t_real == 3000
+    assert buf.shape == (PACKED_WAVE_LEN,) and t_real == 3000
     assert (buf == 1).all()  # no tail written: the buffer is all real signal
+
+
+def test_empty_sample_keys_follow_modality(tmp_path):
+    """A failed sample in an audio-only (or video-only) run must emit only
+    the keys real samples carry, or collate's key probe breaks the batch."""
+    from mocov2_whisper_flamingo_tpu.datamodule.av_dataset import AVDataset
+    from mocov2_whisper_flamingo_tpu.datamodule.transforms import (
+        AudioTransform, VideoTransform)
+
+    for modality, keys in (("audio", {"audio", "audio_mask", "audio_lengths"}),
+                           ("video", {"video", "video_mask", "video_lengths"})):
+        ds = AVDataset(str(tmp_path), "train", modality,
+                       AudioTransform("train", on_device=True,
+                                      on_device_mel=True),
+                       VideoTransform("train", on_device=True))
+        empty = ds._get_empty_sample()
+        assert keys | {"target_ids", "target_text", "target_lengths"} == set(empty)
+    # waveform-mode empty audio matches the packed shape
+    from mocov2_whisper_flamingo_tpu.datamodule.av_dataset import PACKED_WAVE_LEN
+    assert empty.get("audio") is None
+    ds_a = AVDataset(str(tmp_path), "train", "audio",
+                     AudioTransform("train", on_device=True, on_device_mel=True),
+                     VideoTransform("train", on_device=True))
+    assert ds_a._get_empty_sample()["audio"].shape == (PACKED_WAVE_LEN,)
+
+
+def test_datamodule_rejects_on_device_mel_without_on_device(raw_root):
+    from mocov2_whisper_flamingo_tpu.datamodule.data_module import DataModule
+
+    cfg = get_config({"data.root_dir": raw_root,
+                      "augmentation.on_device_mel": True})
+    dm = DataModule(cfg)
+    with pytest.raises(ValueError, match="on_device_mel"):
+        dm.setup("fit")
 
 
 def test_make_batch_augment_waveform_mode_matches_mel_mode():
@@ -281,10 +321,12 @@ def test_datamodule_on_device_mel_mode_ships_waveform(raw_root):
     })
     dm = DataModule(cfg)
     dm.setup("fit")
+    from mocov2_whisper_flamingo_tpu.datamodule.av_dataset import PACKED_WAVE_LEN
+
     batch = next(iter(dm.train_dataloader()))
     b = batch["audio"].shape[0]
     # train audio is the packed raw waveform; mel runs on-device
-    assert batch["audio"].shape[1:] == (480_000,)
+    assert batch["audio"].shape[1:] == (PACKED_WAVE_LEN,)
     assert batch["audio"].dtype == np.float32
     real = batch["audio_mask"].sum(axis=1)
     assert (real > 0).all() and (real < 3000).all()

@@ -89,6 +89,8 @@ def main() -> None:
                              "bound from the step time")
     parser.add_argument("--out", default=None, help="append the JSON result here")
     args = parser.parse_args()
+    if args.on_device_mel and not args.on_device_augment:
+        parser.error("--on-device-mel requires --on-device-augment")
 
     marker = os.path.join(args.data_root, f".generated_{args.n_clips}")
     if not os.path.exists(marker):
