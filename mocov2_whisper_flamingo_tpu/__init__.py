@@ -14,6 +14,9 @@ PyTorch reference ``maihathm/MoCov2-Whisper-Flamingo``:
   (``training``, ``parallel``).
 - Greedy and KV-cached beam-search decoding through the extended
   ``TW_tokenizer`` (``decode``).
+- Online serving: dynamic micro-batching over static bucket shapes with a
+  dispatch/completion pipeline and an HTTP front-end (``serving``,
+  ``tools.serve``).
 
 The public surface mirrors the reference so its ``test.py`` /
 ``verify_model.py`` workflows carry over: ``AVNet`` keeps the
