@@ -339,7 +339,7 @@ def make_av_engine(
 
     Payload per request (static shapes, the bench/eval convention):
       mel [3000, 80] f32, audio_mask [3000] bool, video uint8
-      [T, H, W, 3] raw ROI frames (device-side resize/normalize, the
+      [T, 3, H, W] raw ROI frames (device-side resize/normalize, the
       round-3 uint8-shipping path), video_mask [T] bool, video_len i32.
     """
     import jax
@@ -355,7 +355,8 @@ def make_av_engine(
         return net.beam(
             p, (audio, audio_mask, video, video_mask, video_len),
             prefix, beam_size=beam_size, max_len=max_len, eos_id=eos_id,
-            logit_rules=logit_rules, cache_quant=cache_quant).sequences
+            logit_rules=logit_rules,
+            cache_quant=cache_quant).sequences[:, 0]  # top hypothesis per row
 
     def post(row):
         row = trim_at_eos(row, eos_id, len(prefix))

@@ -195,6 +195,89 @@ def test_engine_rejects_after_close(asr_setup):
         eng.submit(wavs[0])
 
 
+# -- AV engine ---------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def av_setup():
+    """Tiny AVWhisperNet (the test_av_whisper.py shrink pattern) plus raw
+    uint8 per-request payloads in the engine convention."""
+    from mocov2_whisper_flamingo_tpu.models.av_whisper import AVWhisperNet
+    from mocov2_whisper_flamingo_tpu.models.whisper import (
+        WhisperDecoder, WhisperEncoder)
+    from mocov2_whisper_flamingo_tpu.ops.video import eval_video_pipeline
+
+    tiny = WhisperConfig(
+        n_mels=80, d_model=32, encoder_layers=1, decoder_layers=1, n_heads=4,
+        d_ff=64, vocab_size=64, max_source_positions=64,
+        max_target_positions=32)
+    net = AVWhisperNet(modelargs=(32, 4, 2, 3000, 128, 0.0), vocab_size=64,
+                       whisper_name="whisper-tiny", backend="xla")
+    net.whisper_config = tiny
+    net.trunk.whisper_config = tiny
+    net.trunk.whisper_encoder = WhisperEncoder(tiny, net.trunk.precision, "xla")
+    net.decoder = WhisperDecoder(tiny, net.precision, "xla")
+    params = net.init(jax.random.PRNGKey(0))
+
+    t_video, hw = 6, 32
+    rng = np.random.default_rng(1)
+
+    def payload(i):
+        return (
+            np.asarray(rng.standard_normal((80, 128)), np.float32),
+            np.ones(128, bool),
+            rng.integers(0, 255, (t_video, 3, hw, hw)).astype(np.uint8),
+            np.ones(t_video, bool),
+            np.int32(t_video - (i % 2)),
+        )
+
+    payloads = [payload(i) for i in range(3)]
+
+    def direct(p):
+        batch = tuple(np.asarray(x)[None] for x in p)
+        audio, audio_mask, video_u8, video_mask, video_len = batch
+        video = eval_video_pipeline(video_u8, resize=hw)
+        toks = np.asarray(net.beam(
+            params, (audio, audio_mask, video, video_mask, video_len),
+            PREFIX, beam_size=BEAM, max_len=MAX_LEN,
+            eos_id=EOS).sequences)[0, 0]
+        return trim_at_eos(toks, EOS, len(PREFIX))
+
+    return net, params, payloads, direct, hw
+
+
+def test_av_engine_matches_direct_beam(av_setup):
+    """make_av_engine rows equal the top beam hypothesis of an independent
+    single-request decode (incl. uint8 -> device eval_video_pipeline)."""
+    from mocov2_whisper_flamingo_tpu.serving import make_av_engine
+
+    net, params, payloads, direct, hw = av_setup
+    with make_av_engine(net, params, PREFIX, beam_size=BEAM, max_len=MAX_LEN,
+                        eos_id=EOS, buckets=(1, 2), max_wait_s=0.25,
+                        video_resize=hw) as eng:
+        futs = [eng.submit(*p) for p in payloads]
+        results = [f.result(timeout=240) for f in futs]
+    for p, r in zip(payloads, results):
+        assert r.tokens.ndim == 1  # one row per request, not [beam, L]
+        np.testing.assert_array_equal(r.tokens, direct(p))
+    stats = eng.stats()
+    assert stats["requests"] == 3
+    assert set(stats["compiled_buckets"]) <= {1, 2}
+
+
+def test_av_engine_tokenizer_text(av_setup):
+    from mocov2_whisper_flamingo_tpu.serving import make_av_engine
+
+    net, params, payloads, direct, hw = av_setup
+    with make_av_engine(net, params, PREFIX, tokenizer=DummyTok(),
+                        beam_size=BEAM, max_len=MAX_LEN, eos_id=EOS,
+                        buckets=(1,), max_wait_s=0.0,
+                        video_resize=hw) as eng:
+        res = eng.transcribe(*payloads[0], timeout=240)
+    expect = direct(payloads[0])
+    assert res.text == ",".join(str(i) for i in expect[len(PREFIX):])
+
+
 # -- HTTP server -------------------------------------------------------------------
 
 
