@@ -277,6 +277,83 @@ def bench_train(b: int = 4, iters: int = 5, remat: bool = False,
     }
 
 
+def bench_serving(n_requests: int = 64, buckets=(1, 16),
+                  max_wait_s: float = 0.01) -> dict:
+    """Online-serving throughput/latency (opt-in via --serving): closed-loop
+    load through the dynamic micro-batching engine (serving/engine.py) over
+    the flagship full-AV beam decode.
+
+    Two legs, one engine:
+
+    - **device-resident payloads** (pre-staged in HBM before the first
+      compile; pad_rows collates them ON device via jnp): isolates the
+      engine machinery (batcher, dispatch/completion threads, futures,
+      EOS trim) from input transfer — the number a co-located pipeline
+      (or any standard TPU VM with PCIe-attached chips) sees.
+    - **host payloads** (per-request numpy: mel f32 + raw uint8 ROI
+      frames): the full client path incl. host collate + host->device
+      transfer. On this rig the axon tunnel throttles H2D to ~15-40 MB/s
+      once a large executable is loaded (fresh-process transfers run at
+      1.4 GB/s; see CLAUDE.md), so this leg is transfer-bound and NOT a
+      TPU-hardware number — reported for honesty, interpreted in
+      BASELINE.md."""
+    import jax
+
+    from mocov2_whisper_flamingo_tpu.serving import make_av_engine
+
+    net, params = _build("whisper-small")
+    rng = np.random.default_rng(0)
+    payload = (
+        np.asarray(rng.standard_normal((3000, 80)), np.float32),
+        np.ones(3000, bool),
+        rng.integers(0, 255, (T_VIDEO, 3, 88, 88)).astype(np.uint8),
+        np.ones(T_VIDEO, bool),
+        np.int32(T_VIDEO),
+    )
+    # Stage device copies BEFORE the first big compile: the tunnel's
+    # post-compile H2D throttling makes later staging pathologically slow.
+    dev_payloads = [jax.device_put(payload) for _ in range(4)]
+    jax_block(dev_payloads)
+    pct = lambda xs, q: sorted(xs)[min(len(xs) - 1, int(q * len(xs)))]
+    eng = make_av_engine(net, params, PREFIX, beam_size=BEAM,
+                         max_len=MAX_TOKENS, eos_id=EOS, buckets=buckets,
+                         max_wait_s=max_wait_s)
+    try:
+        eng.warmup(dev_payloads[0])  # one XLA compile per bucket
+        # Idle-load latency: sequential single host requests (B=1 bucket).
+        idle_ms = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            eng.transcribe(*payload, timeout=600)
+            idle_ms.append((time.perf_counter() - t0) * 1e3)
+
+        def saturate(reqs):
+            t0 = time.perf_counter()
+            futs = [eng.submit(*p) for p in reqs]
+            results = [f.result(timeout=600) for f in futs]
+            return len(reqs) * SECONDS_PER_CLIP / (
+                time.perf_counter() - t0), results
+
+        # Host leg FIRST: the tunnel's H2D throttling worsens with
+        # accumulated transfers, so running it late understates it.
+        host_rtf, results = saturate([payload] * n_requests)
+        dev_rtf, _ = saturate(
+            [dev_payloads[i % len(dev_payloads)] for i in range(n_requests)])
+        stats = eng.stats()
+    finally:
+        eng.close()
+    sat_ms = [r.total_ms for r in results]
+    return {
+        "serving_rtf_device_payloads": dev_rtf,
+        "serving_rtf": host_rtf,
+        "clips_per_sec": host_rtf / SECONDS_PER_CLIP,
+        "idle_p50_ms": pct(idle_ms, 0.50),
+        "sat_p50_ms": pct(sat_ms, 0.50),
+        "sat_p99_ms": pct(sat_ms, 0.99),
+        "bucket_counts": stats["bucket_counts"],
+    }
+
+
 def main() -> None:
     parser = argparse.ArgumentParser()
     parser.add_argument("--sizes", default="small",
@@ -292,6 +369,9 @@ def main() -> None:
     parser.add_argument("--train-augment", action="store_true",
                         help="fuse the on-device augmentation chain into "
                              "the --train step (augmentation.on_device)")
+    parser.add_argument("--serving", action="store_true",
+                        help="bench the online serving engine (closed-loop "
+                             "load, throughput + latency percentiles)")
     parser.add_argument("--b16-quant", default=None,
                         choices=(None, "int8", "int8-cross"),
                         help="KV-cache quantization for the B=16 serving leg")
@@ -329,6 +409,21 @@ def main() -> None:
 
             _os._exit(3)  # the hung init thread cannot be joined
 
+    if args.serving:
+        r = bench_serving()
+        print(json.dumps({
+            "metric": "online serving sustained throughput "
+                      "(full-AV beam=5, dynamic batching)",
+            "value": round(r["serving_rtf_device_payloads"], 2),
+            "unit": "x realtime",
+            "host_payload_rtf": round(r["serving_rtf"], 2),
+            "clips_per_sec": round(r["clips_per_sec"], 2),
+            "idle_p50_ms": round(r["idle_p50_ms"], 1),
+            "sat_p50_ms": round(r["sat_p50_ms"], 1),
+            "sat_p99_ms": round(r["sat_p99_ms"], 1),
+            "bucket_counts": r["bucket_counts"],
+        }))
+        return
     if args.train:
         r = bench_train(b=args.train_batch, remat=args.train_remat,
                         on_device_augment=args.train_augment)

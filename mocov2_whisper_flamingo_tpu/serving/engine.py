@@ -69,14 +69,27 @@ class _InFlight:
 
 def pad_rows(payloads: Sequence[tuple], bucket: int) -> tuple:
     """Stack per-request payload tuples into one batch tree, zero-padding
-    to ``bucket`` rows. Exact: pad rows are sliced off after decode."""
+    to ``bucket`` rows. Exact: pad rows are sliced off after decode.
+
+    Rows may be host numpy (stacked on host, transferred by the engine's
+    decode wrapper) or device ``jax.Array``s (stacked ON DEVICE via jnp —
+    the zero-copy path for co-located pipelines whose payloads already
+    live in HBM, e.g. a streaming front-end feeding the decoder)."""
     n = len(payloads)
+    on_device = any(
+        hasattr(x, "addressable_shards") for x in payloads[0])
+    if on_device:
+        import jax.numpy as jnp
+
+        xp, stack, concat = jnp, jnp.stack, jnp.concatenate
+    else:
+        xp, stack, concat = np, np.stack, np.concatenate
     leaves = []
     for parts in zip(*payloads):
-        stacked = np.stack([np.asarray(p) for p in parts])
+        stacked = stack([xp.asarray(p) for p in parts])
         if n < bucket:
-            pad = np.zeros((bucket - n,) + stacked.shape[1:], stacked.dtype)
-            stacked = np.concatenate([stacked, pad])
+            pad = xp.zeros((bucket - n,) + stacked.shape[1:], stacked.dtype)
+            stacked = concat([stacked, pad])
         leaves.append(stacked)
     return tuple(leaves)
 
@@ -298,6 +311,14 @@ def make_audio_engine(
             p, wav, prefix, beam_size=beam_size, max_len=max_len,
             eos_id=eos_id, pad_to=n_samples, logit_rules=logit_rules)
 
+    def decode_batch(batch):
+        # Explicit async device_put: handing numpy args straight to a
+        # jitted call transfers them on the dispatch's slow path (measured
+        # 7.6 s vs 1.6 s per B=16 AV batch through the axon tunnel);
+        # device_put streams the bytes contiguously and returns immediately,
+        # so the dispatch thread keeps overlapping with device decode.
+        return _decode(params, jax.device_put(batch)[0])
+
     def post(row):
         row = trim_at_eos(row, eos_id, len(prefix))
         text = None
@@ -305,9 +326,8 @@ def make_audio_engine(
             text = tokenizer.decode([int(t) for t in row[len(prefix):]])
         return row, text
 
-    return ServingEngine((lambda batch: _decode(params, batch[0])),
-                         buckets=buckets, max_wait_s=max_wait_s,
-                         postprocess=post)
+    return ServingEngine(decode_batch, buckets=buckets,
+                         max_wait_s=max_wait_s, postprocess=post)
 
 
 def canonical_wav(wav: np.ndarray, seconds: float = 30.0,
@@ -358,6 +378,10 @@ def make_av_engine(
             logit_rules=logit_rules,
             cache_quant=cache_quant).sequences[:, 0]  # top hypothesis per row
 
+    def decode_batch(batch):
+        # Async device_put before the jitted call — see make_audio_engine.
+        return _decode(params, jax.device_put(batch))
+
     def post(row):
         row = trim_at_eos(row, eos_id, len(prefix))
         text = None
@@ -365,6 +389,5 @@ def make_av_engine(
             text = tokenizer.decode([int(t) for t in row[len(prefix):]])
         return row, text
 
-    return ServingEngine((lambda batch: _decode(params, batch)),
-                         buckets=buckets, max_wait_s=max_wait_s,
-                         postprocess=post)
+    return ServingEngine(decode_batch, buckets=buckets,
+                         max_wait_s=max_wait_s, postprocess=post)

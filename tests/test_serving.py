@@ -82,6 +82,23 @@ def test_pad_rows_stacks_and_pads():
     assert lens.tolist() == [2, 5, 0, 0]
 
 
+def test_pad_rows_device_resident_rows_collate_on_device():
+    """jax.Array payload rows take the jnp path: the batch tree stays on
+    device (zero-copy serving for co-located pipelines) and matches the
+    host collate bit-for-bit."""
+    import jax.numpy as jnp
+
+    host_rows = [(np.ones(3, np.float32), np.int32(2)),
+                 (np.full(3, 2.0, np.float32), np.int32(5))]
+    dev_rows = [tuple(jnp.asarray(x) for x in r) for r in host_rows]
+    host = pad_rows(host_rows, 4)
+    dev = pad_rows(dev_rows, 4)
+    for h, d in zip(host, dev):
+        assert isinstance(d, jax.Array)
+        np.testing.assert_array_equal(h, np.asarray(d))
+        assert h.dtype == d.dtype
+
+
 def test_trim_at_eos():
     row = np.array([1, 2, 7, 8, EOS, 9], np.int32)
     np.testing.assert_array_equal(trim_at_eos(row, EOS, 2), [1, 2, 7, 8])
@@ -263,6 +280,22 @@ def test_av_engine_matches_direct_beam(av_setup):
     stats = eng.stats()
     assert stats["requests"] == 3
     assert set(stats["compiled_buckets"]) <= {1, 2}
+
+
+def test_av_engine_device_resident_payloads(av_setup):
+    """Pre-staged device payloads run through the same engine (device-side
+    jnp collate, device_put no-op) and reproduce the host-payload rows."""
+    from mocov2_whisper_flamingo_tpu.serving import make_av_engine
+
+    net, params, payloads, direct, hw = av_setup
+    dev = [tuple(jax.device_put(x) for x in p) for p in payloads[:2]]
+    with make_av_engine(net, params, PREFIX, beam_size=BEAM, max_len=MAX_LEN,
+                        eos_id=EOS, buckets=(2,), max_wait_s=0.25,
+                        video_resize=hw) as eng:
+        futs = [eng.submit(*p) for p in dev]
+        results = [f.result(timeout=240) for f in futs]
+    for p, r in zip(payloads, results):
+        np.testing.assert_array_equal(r.tokens, direct(p))
 
 
 def test_av_engine_tokenizer_text(av_setup):
