@@ -100,12 +100,15 @@ def jax_block(tree):
 
 
 def bench_size(whisper_name: str, b: int = B, iters: int = 5,
-               cache_quant: str | None = None):
+               cache_quant: str | None = None,
+               weight_quant: str | None = None):
     """Measure one model size; returns a dict of timings.
 
     ``cache_quant="int8"``: int8 KV caches (models/whisper.py) — the
     bandwidth lever for the wide serving buckets where cache traffic
-    dominates the decode step."""
+    dominates the decode step. ``weight_quant="int8"``: weight-only int8
+    decode step (quantize_decode_params) — the bandwidth lever at
+    medium/large model sizes where per-step WEIGHT traffic dominates."""
     import jax
 
     net, params = _build(whisper_name)
@@ -115,7 +118,8 @@ def bench_size(whisper_name: str, b: int = B, iters: int = 5,
     def make_fns(net):
         decode = jax.jit(lambda p, bt: net.beam(
             p, _preprocess(bt), PREFIX, beam_size=BEAM, max_len=MAX_TOKENS,
-            eos_id=EOS, cache_quant=cache_quant).sequences)
+            eos_id=EOS, cache_quant=cache_quant,
+            weight_quant=weight_quant).sequences)
         encode = jax.jit(lambda p, bt: net.encode(p, _preprocess(bt)))
         return decode, encode
 
@@ -375,6 +379,10 @@ def main() -> None:
     parser.add_argument("--b16-quant", default=None,
                         choices=(None, "int8", "int8-cross"),
                         help="KV-cache quantization for the B=16 serving leg")
+    parser.add_argument("--weight-quant", default=None,
+                        choices=(None, "int8"),
+                        help="weight-only int8 decode step for the per-size "
+                             "runs (the HBM lever at medium/large sizes)")
     parser.add_argument("--init-timeout", type=float, default=180.0,
                         help="seconds to wait for TPU device init before "
                              "emitting a diagnostic JSON line and exiting "
@@ -443,8 +451,11 @@ def main() -> None:
     for size in sizes:
         name = f"whisper-{size}"
         b = B if size in ("small", "base", "tiny") else 2
-        r = bench_size(name, b=b, iters=5 if size == "small" else 3)
-        print(f"[bench] {name} B={b}: rtf={r['rtf']:.1f}x "
+        r = bench_size(name, b=b, iters=5 if size == "small" else 3,
+                       weight_quant=args.weight_quant)
+        print(f"[bench] {name} B={b}"
+              f"{' (int8 weights)' if args.weight_quant else ''}: "
+              f"rtf={r['rtf']:.1f}x "
               f"encode={r['encode_ms']:.1f}ms "
               f"decode={r['decode_ms_per_step']:.2f}ms/step "
               f"mfu={r['mfu_pct'] and round(r['mfu_pct'], 1)}%",

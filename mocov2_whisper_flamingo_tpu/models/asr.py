@@ -74,14 +74,16 @@ class WhisperASR:
         eos_id: int = 50257,
         pad_to: int | None = 480_000,
         logit_rules=None,
+        weight_quant: str | None = None,
     ) -> jnp.ndarray:
         """wav -> token ids [B, max_len] (best beam when beam_size > 1).
         ``logit_rules``: optional ``decode.LogitRules`` with the HF-default
-        Whisper suppress/forced/timestamp semantics."""
+        Whisper suppress/forced/timestamp semantics. ``weight_quant="int8"``:
+        weight-only int8 decode step."""
         mel = self.features(audio, pad_to=pad_to)
         enc = self.encode(params, mel)
         # Decoder params cast to the compute dtype ONCE (not per token step).
-        dec_params = self._cast_decoder_params(params)
+        dec_params = self._cast_decoder_params(params, weight_quant)
         if beam_size <= 1:
             return greedy_decode(self.decoder, dec_params, enc,
                                  prefix_ids, max_len, eos_id,
@@ -114,7 +116,14 @@ class WhisperASR:
         return detect_language(self.decoder, dec_params,
                                enc, sot_id, language_token_ids)
 
-    def _cast_decoder_params(self, params: dict) -> dict:
+    def _cast_decoder_params(self, params: dict,
+                             weight_quant: str | None = None) -> dict:
+        if weight_quant is not None:
+            # int8 weight-only decode (fuses QKV as a prerequisite — the
+            # fused kernel is what gets quantized); see
+            # WhisperDecoder.prepare_decode_params.
+            return self.decoder.prepare_decode_params(params["decoder"],
+                                                      weight_quant)
         prec = self.precision
         return jax.tree.map(
             lambda x: prec.cast(x) if jnp.issubdtype(x.dtype, jnp.floating) else x,
@@ -174,6 +183,7 @@ class WhisperASR:
         group_fn=None,
         alignment_heads: Sequence[tuple[int, int]] | None = None,
         key: jax.Array | None = None,
+        weight_quant: str | None = None,
     ) -> dict:
         """Long-form transcription of arbitrary-length audio — the
         user-facing equivalent of openai ``whisper.transcribe`` / HF
@@ -200,7 +210,10 @@ class WhisperASR:
         from mocov2_whisper_flamingo_tpu.decode.streaming import (
             transcribe_long_form)
 
-        dec_params = self._cast_decoder_params(params)
+        # weight_quant="int8": the quantized tree serves every consumer
+        # below — decode_step paths read int8, and the word-time alignment
+        # forward (decoder.apply) dequantizes the shared weights in-graph.
+        dec_params = self._cast_decoder_params(params, weight_quant)
         text_fn = (lambda ids: tokenizer.decode(ids)) if tokenizer else None
         prefix_ids = [int(t) for t in prefix_ids]
         language = language_probs = None

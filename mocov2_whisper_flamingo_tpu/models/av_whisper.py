@@ -132,36 +132,40 @@ class AVWhisperNet:
 
     # -- inference -------------------------------------------------------------------
 
-    def _decode_params(self, params: dict) -> dict:
+    def _decode_params(self, params: dict, weight_quant: str | None = None) -> dict:
         """Decoder params in the compute dtype, cast ONCE before the token
         loop (XLA hoists loop-invariant casts out of the scan on its own —
         measured no change on v5e — but the explicit cast keeps the weight
         traffic halved even when that optimization doesn't fire), with
-        fused QKV self-attention weights for the op-count-bound step."""
-        prec = self.precision
-        cast = jax.tree.map(
-            lambda x: prec.cast(x) if jnp.issubdtype(x.dtype, jnp.floating) else x,
-            params["decoder"])
-        return self.decoder.fuse_decode_params(cast)
+        fused QKV self-attention weights for the op-count-bound step.
+
+        ``weight_quant="int8"``: additionally quantize the decode-hot
+        kernels + embedding table to int8 (see
+        ``WhisperDecoder.quantize_decode_params``) — quantized from the
+        fp32 masters, with the f32 scales left uncast."""
+        return self.decoder.prepare_decode_params(params["decoder"], weight_quant)
 
     def greedy(self, params: dict, input_batch: tuple, prefix_ids,
                max_len: int = 224, eos_id: int = 0,
-               logit_rules=None) -> jnp.ndarray:
+               logit_rules=None, weight_quant: str | None = None) -> jnp.ndarray:
         features, valid = self.encode(params, input_batch)
-        return greedy_decode(self.decoder, self._decode_params(params), features,
-                             prefix_ids, max_len, eos_id, encoder_valid=valid,
-                             logit_rules=logit_rules)
+        return greedy_decode(self.decoder, self._decode_params(params, weight_quant),
+                             features, prefix_ids, max_len, eos_id,
+                             encoder_valid=valid, logit_rules=logit_rules)
 
     def beam(self, params: dict, input_batch: tuple, prefix_ids,
              beam_size: int = 5, max_len: int = 224, eos_id: int = 0,
              length_penalty: float = 1.0, logit_rules=None,
-             cache_quant: str | None = None) -> BeamResult:
+             cache_quant: str | None = None,
+             weight_quant: str | None = None) -> BeamResult:
         """``logit_rules``: optional ``decode.LogitRules`` (HF-default
         Whisper suppress/forced/timestamp semantics — required for WER
-        parity with HF ``generate`` once pretrained weights load)."""
+        parity with HF ``generate`` once pretrained weights load).
+        ``weight_quant="int8"``: weight-only int8 decode step (see
+        ``WhisperDecoder.quantize_decode_params``)."""
         features, valid = self.encode(params, input_batch)
-        return beam_search(self.decoder, self._decode_params(params), features,
-                           prefix_ids, beam_size=beam_size, max_len=max_len,
+        return beam_search(self.decoder, self._decode_params(params, weight_quant),
+                           features, prefix_ids, beam_size=beam_size, max_len=max_len,
                            eos_id=eos_id, length_penalty=length_penalty,
                            encoder_valid=valid, logit_rules=logit_rules,
                            cache_quant=cache_quant)

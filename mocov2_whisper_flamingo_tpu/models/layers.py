@@ -53,11 +53,45 @@ def linear_init(key, d_in: int, d_out: int, bias: bool = True, dtype=jnp.float32
 
 
 def linear(params: Params, x: jnp.ndarray, precision: Precision = FP32) -> jnp.ndarray:
+    if "kernel_q" in params:
+        # Weight-only int8 (see ``quantize_linear``): the kernel is stored
+        # int8 in HBM and converted to the compute dtype on the fly — XLA
+        # fuses the convert into the dot's operand read, so the weight HBM
+        # traffic (the decode step's dominant cost at medium/large sizes)
+        # halves vs bf16. The per-output-column scale is applied to the
+        # matmul OUTPUT, which is algebraically exact.
+        w = params["kernel_q"].astype(precision.compute_dtype)
+        y = jnp.matmul(precision.cast(x), w, preferred_element_type=jnp.float32)
+        y = y * params["scale"]
+        if "bias" in params:
+            y = y + params["bias"].astype(jnp.float32)
+        return y.astype(precision.compute_dtype)
     w = precision.cast(params["kernel"])
     y = jnp.matmul(precision.cast(x), w, preferred_element_type=w.dtype)
     if "bias" in params:
         y = y + precision.cast(params["bias"])
     return y
+
+
+def quantize_linear(params: Params) -> Params:
+    """Weight-only symmetric int8 quantization of a linear param dict.
+
+    Per-OUTPUT-channel max-abs scales (one f32 scalar per kernel column):
+    ``y = (x @ q) * scale + bias`` is exact in the scale algebra, so the
+    only error is the int8 rounding of the weights (~0.4% RMS per matmul).
+    Built for the autoregressive decode step, where every weight byte is
+    re-read from HBM each token and the step is bandwidth-bound at
+    medium/large model sizes — int8 halves that traffic vs bf16 while the
+    MXU still computes in the bf16 compute dtype (w8a16). The ``bias``
+    passes through untouched."""
+    w = params["kernel"].astype(jnp.float32)
+    scale = jnp.max(jnp.abs(w), axis=0) / 127.0
+    scale = jnp.maximum(scale, 1e-12)
+    q = jnp.round(w / scale[None, :]).astype(jnp.int8)
+    out = {"kernel_q": q, "scale": scale}
+    if "bias" in params:
+        out["bias"] = params["bias"]
+    return out
 
 
 # -- LayerNorm (fp32 island) --------------------------------------------------
@@ -117,7 +151,27 @@ def embedding_init(key, vocab: int, dim: int, dtype=jnp.float32) -> Params:
 
 
 def embed(params: Params, ids: jnp.ndarray) -> jnp.ndarray:
+    if "embedding_q" in params:
+        # int8 table (see ``quantize_embedding``): per-ROW scales, so a
+        # looked-up row dequantizes exactly as row * scale[row].
+        rows = jnp.take(params["embedding_q"], ids, axis=0).astype(jnp.float32)
+        return rows * jnp.take(params["scale"], ids, axis=0)[..., None]
     return jnp.take(params["embedding"], ids, axis=0)
+
+
+def quantize_embedding(params: Params) -> Params:
+    """Weight-only symmetric int8 quantization of an embedding table with
+    per-ROW (per-token) scales. One quantization serves both tied uses:
+    lookup dequantizes row-wise (``embed``), and the tied vocab projection
+    ``x @ table.T`` scales its output column v by ``scale[v]`` — both exact
+    in the scale algebra. The table is the single largest per-step HBM read
+    of the decode step (e.g. 40 M params at whisper-small), re-read every
+    token by the logits matmul."""
+    emb = params["embedding"].astype(jnp.float32)
+    scale = jnp.max(jnp.abs(emb), axis=1) / 127.0
+    scale = jnp.maximum(scale, 1e-12)
+    q = jnp.round(emb / scale[:, None]).astype(jnp.int8)
+    return {"embedding_q": q, "scale": scale}
 
 
 # -- Positional encodings -------------------------------------------------------

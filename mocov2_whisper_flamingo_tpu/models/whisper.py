@@ -304,6 +304,21 @@ def _cross_attention_probs(
     return L.linear(params["out"], _merge_heads(a), prec), p
 
 
+def _vocab_logits(emb: L.Params, x: jnp.ndarray, matmul_dtype) -> jnp.ndarray:
+    """Tied-embedding vocab projection ``x @ table.T`` -> fp32 logits.
+
+    Handles the int8-quantized table (``L.quantize_embedding``): the int8
+    values convert to ``matmul_dtype`` inside the dot's operand read (HBM
+    traffic stays int8) and the per-row scales multiply the OUTPUT columns
+    — exact in the scale algebra."""
+    if "embedding_q" in emb:
+        table_t = emb["embedding_q"].astype(matmul_dtype).T
+        y = jnp.matmul(x, table_t, preferred_element_type=jnp.float32)
+        return y * emb["scale"]
+    return jnp.matmul(x, emb["embedding"].astype(matmul_dtype).T,
+                      preferred_element_type=jnp.float32)
+
+
 def _mlp_init(key, d_model: int, d_ff: int) -> L.Params:
     k1, k2 = jax.random.split(key)
     return {"fc1": L.linear_init(k1, d_model, d_ff), "fc2": L.linear_init(k2, d_ff, d_model)}
@@ -450,8 +465,8 @@ class WhisperDecoder:
             x = x + h
             x = x + _mlp(lp["mlp"], L.layer_norm(lp["mlp_ln"], x), prec)
         x = L.layer_norm(params["ln_post"], x)
-        logits = jnp.matmul(
-            x.astype(jnp.float32), params["embed_tokens"]["embedding"].T.astype(jnp.float32))
+        logits = _vocab_logits(params["embed_tokens"], x.astype(jnp.float32),
+                               jnp.float32)
         if return_cross_weights:
             return logits, jnp.stack(cross_ws)
         return logits
@@ -483,6 +498,81 @@ class WhisperDecoder:
             layers.append(lp)
         params["layers"] = layers
         return params
+
+    @staticmethod
+    def quantize_decode_params(params: L.Params) -> L.Params:
+        """Weight-only int8 for the decode step (w8a16).
+
+        The autoregressive step re-reads every decode-path weight from HBM
+        each token, and at medium/large sizes that traffic IS the step time
+        (large-v2: ~1.6 GB/step in bf16 at 3.4-4.6 ms — near the v5e HBM
+        roof). This quantizes exactly the kernels the step touches — fused
+        self QKV + out, cross q + out, both MLP kernels, and the tied
+        embedding table (per-row scales serve both the lookup and the
+        [D, V] logits matmul) — to int8 with per-output-channel scales
+        folded into the matmul outputs (``L.quantize_linear`` /
+        ``L.quantize_embedding``: exact scale algebra, ~0.4% RMS weight
+        rounding error).
+
+        Kernels the step does NOT read stay untouched: per-layer self q/k/v
+        (superseded by "qkv" — call ``fuse_decode_params`` FIRST), cross
+        k/v (read once per utterance by ``init_cache``), and pos_embed/LN
+        leaves. ``apply`` (teacher forcing / DTW alignment) remains valid
+        on the returned tree — it uses the unquantized self q/k/v and
+        dequantizes the shared cross/MLP/embedding weights in-graph."""
+        params = dict(params)
+        layers = []
+        for lp in params["layers"]:
+            lp = dict(lp)
+            sa = dict(lp["self_attn"])
+            for name in ("qkv", "out"):
+                if name in sa:
+                    sa[name] = L.quantize_linear(sa[name])
+            lp["self_attn"] = sa
+            ca = dict(lp["cross_attn"])
+            for name in ("q", "out"):
+                ca[name] = L.quantize_linear(ca[name])
+            lp["cross_attn"] = ca
+            mlp = dict(lp["mlp"])
+            for name in ("fc1", "fc2"):
+                mlp[name] = L.quantize_linear(mlp[name])
+            lp["mlp"] = mlp
+            layers.append(lp)
+        params["layers"] = layers
+        params["embed_tokens"] = L.quantize_embedding(params["embed_tokens"])
+        return params
+
+    def prepare_decode_params(self, params: L.Params,
+                              weight_quant: str | None = None) -> L.Params:
+        """Full decode-param preparation: fuse QKV, optionally quantize the
+        decode-hot weights to int8, then cast the remaining float leaves to
+        the compute dtype.
+
+        Order matters for accuracy: quantization reads the fp32 masters
+        (not an already-rounded bf16 copy), and the f32 quantization scales
+        are left uncast — they multiply matmul OUTPUTS, where bf16 rounding
+        would re-introduce the error the per-channel scales exist to
+        remove."""
+        prec = self.precision
+        fused = self.fuse_decode_params(params)
+        if weight_quant is None:
+            return jax.tree.map(
+                lambda x: prec.cast(x)
+                if jnp.issubdtype(x.dtype, jnp.floating) else x, fused)
+        if weight_quant != "int8":
+            raise ValueError(f"unknown weight_quant {weight_quant!r}; "
+                             "expected None or 'int8'")
+        quant = self.quantize_decode_params(fused)
+
+        def cast(path, x):
+            if not jnp.issubdtype(x.dtype, jnp.floating):
+                return x  # int8 kernels/tables
+            if getattr(path[-1], "key", None) == "scale":
+                return x  # f32 quantization scales (LN scales ride along —
+                #           layer_norm computes in f32 regardless)
+            return prec.cast(x)
+
+        return jax.tree_util.tree_map_with_path(cast, quant)
 
     def init_cache(self, params: L.Params, encoder_out: jnp.ndarray,
                    max_len: int | None = None, dtype=None,
@@ -626,8 +716,8 @@ class WhisperDecoder:
         x = L.layer_norm(params["ln_post"], x)
         # Vocab projection in the compute dtype (fp32 accumulation): at
         # decode time this [B, D] x [D, V] matmul reads the whole embedding
-        # table every step — bf16 halves that traffic.
-        embed_t = prec.cast(params["embed_tokens"]["embedding"]).T
-        logits = jnp.matmul(prec.cast(x), embed_t,
-                            preferred_element_type=jnp.float32)
+        # table every step — bf16 halves that traffic (int8 halves it
+        # again when the table is quantized, see quantize_decode_params).
+        logits = _vocab_logits(params["embed_tokens"], prec.cast(x),
+                               prec.compute_dtype)
         return logits[:, 0].astype(jnp.float32), new_caches

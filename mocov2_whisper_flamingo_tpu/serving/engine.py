@@ -291,6 +291,7 @@ def make_audio_engine(
     seconds: float = 30.0,
     sample_rate: int = 16_000,
     logit_rules=None,
+    weight_quant: str | None = None,
     buckets: Sequence[int] = DEFAULT_BUCKETS,
     max_wait_s: float = 0.005,
 ) -> ServingEngine:
@@ -309,7 +310,8 @@ def make_audio_engine(
     def _decode(p, wav):
         return asr.transcribe_tokens(
             p, wav, prefix, beam_size=beam_size, max_len=max_len,
-            eos_id=eos_id, pad_to=n_samples, logit_rules=logit_rules)
+            eos_id=eos_id, pad_to=n_samples, logit_rules=logit_rules,
+            weight_quant=weight_quant)
 
     def decode_batch(batch):
         # Explicit async device_put: handing numpy args straight to a
@@ -351,6 +353,7 @@ def make_av_engine(
     eos_id: int = 50257,
     logit_rules=None,
     cache_quant: str | None = None,
+    weight_quant: str | None = None,
     buckets: Sequence[int] = DEFAULT_BUCKETS,
     max_wait_s: float = 0.005,
     video_resize: int = 64,
@@ -375,8 +378,8 @@ def make_av_engine(
         return net.beam(
             p, (audio, audio_mask, video, video_mask, video_len),
             prefix, beam_size=beam_size, max_len=max_len, eos_id=eos_id,
-            logit_rules=logit_rules,
-            cache_quant=cache_quant).sequences[:, 0]  # top hypothesis per row
+            logit_rules=logit_rules, cache_quant=cache_quant,
+            weight_quant=weight_quant).sequences[:, 0]  # top hypothesis per row
 
     def decode_batch(batch):
         # Async device_put before the jitted call — see make_audio_engine.
