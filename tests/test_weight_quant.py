@@ -150,6 +150,29 @@ def test_quantized_beam_with_int8_cache(setup):
                                atol=0.08)
 
 
+def test_quantized_streaming_matches_fp_tokens(setup):
+    """The streaming chunk program accepts the w8a16 tree (bench wires
+    ``--weight-quant int8`` through the config-5 streaming leg): committed
+    tokens match the fp stream at this fixed seed, and the quantized tree's
+    cross k/v (left unquantized by design) feed _cross_caches unchanged."""
+    from mocov2_whisper_flamingo_tpu.decode.streaming import StreamingDecoder
+
+    dec, params, enc_out = setup
+    rng = np.random.default_rng(2)
+    chunks = [enc_out[:1],
+              jnp.asarray(rng.standard_normal((1, 16, 48)).astype(np.float32))]
+    outs = {}
+    for name, wq in (("fp", None), ("q", "int8")):
+        sd = StreamingDecoder(
+            dec, dec.prepare_decode_params(params, weight_quant=wq),
+            PREFIX, max_len=32, eos_id=EOS, max_tokens_per_chunk=5)
+        toks = []
+        for c in chunks:
+            toks.extend(sd.process_chunk(c))
+        outs[name] = toks
+    assert outs["q"] == outs["fp"]
+
+
 def test_av_whisper_beam_weight_quant():
     from mocov2_whisper_flamingo_tpu.models.av_whisper import AVWhisperNet
     from mocov2_whisper_flamingo_tpu.models.whisper import WhisperEncoder
