@@ -170,7 +170,13 @@ def test_quantized_streaming_matches_fp_tokens(setup):
         for c in chunks:
             toks.extend(sd.process_chunk(c))
         outs[name] = toks
-    assert outs["q"] == outs["fp"]
+    # int8 weight rounding can legally flip near-tie argmaxes on this
+    # random-init tiny model, so require strong positional agreement rather
+    # than bit-equality (exact today with this pinned seed, but the pin
+    # should not make platform/jax numeric shifts a test failure).
+    assert len(outs["q"]) > 0 and len(outs["fp"]) > 0
+    agree = sum(a == b for a, b in zip(outs["q"], outs["fp"]))
+    assert agree >= 0.8 * max(len(outs["q"]), len(outs["fp"]))
 
 
 def test_av_whisper_beam_weight_quant():
