@@ -34,12 +34,21 @@ def test_byte_tokenizer_roundtrip():
     assert tok.batch_decode([ids, tok.encode("ok")]) == [text, "ok"]
 
 
-def test_load_tokenizer_fallback(tmp_path):
-    # nonexistent dir -> ByteTokenizer fallback
-    tok = load_tokenizer(str(tmp_path / "missing"))
+def test_load_tokenizer_fallback_and_fail_loud(tmp_path):
+    import pytest
+
+    # None -> ByteTokenizer fallback (no-assets environments)
+    tok = load_tokenizer(None)
     assert isinstance(tok, ByteTokenizer)
-    tok2 = load_tokenizer(None)
-    assert isinstance(tok2, ByteTokenizer)
+    # an EXPLICIT but nonexistent dir must raise, not silently degrade
+    with pytest.raises(FileNotFoundError):
+        load_tokenizer(str(tmp_path / "missing"))
+    # an explicit dir with corrupt assets must raise too
+    bad = tmp_path / "corrupt"
+    bad.mkdir()
+    (bad / "vocab.json").write_text("{not json")
+    with pytest.raises(RuntimeError):
+        load_tokenizer(str(bad))
 
 
 def test_profiling_helpers():
