@@ -90,11 +90,12 @@ class AVNet:
         self._pe = jnp.asarray(L.interleaved_position_encoding(max(pe_max_len, 5000), d_model))
 
     def set_attention_backend(self, backend: str) -> None:
-        """Switch the attention backend on every submodule. Used to fence
-        Pallas kernels off under tensor parallelism: GSPMD treats
-        ``pallas_call`` as an opaque custom call and replicates its operands,
-        so a model-axis-sharded mesh must run the XLA attention path (which
-        shards head-parallel for free)."""
+        """Switch the attention backend on every submodule. Under tensor
+        parallelism the flash-attention kernel now runs through ``shard_map``
+        (ops/flash_attention.py::set_attention_mesh — Trainer wires it), so
+        TP no longer needs a wholesale XLA fallback; this switch remains for
+        platforms without Pallas and for the fused gated-attention kernel,
+        which has no shard_map wrapper."""
         self.backend = backend
         self.whisper_encoder.backend = backend
         self.fusion.backend = backend
@@ -148,6 +149,18 @@ class AVNet:
         root = path[0] if path else ""
         name = getattr(root, "key", root)
         return name not in ("whisper_encoder", "visual_frontend")
+
+    def quantize_frozen_params(self, params: dict) -> dict:
+        """Weight-only int8 for the frozen Whisper-encoder kernels inside
+        the TRAIN step (w8a16; see WhisperEncoder.quantize_encoder_params).
+        Trainable subtrees pass through untouched, so `trainable_filter`,
+        the optimizer mask, and checkpoints keep working on the returned
+        tree — frozen leaves are excluded from updates either way; they are
+        simply stored (and re-read each step) at half the HBM bytes."""
+        params = dict(params)
+        params["whisper_encoder"] = self.whisper_encoder.quantize_encoder_params(
+            params["whisper_encoder"])
+        return params
 
     # -- forward ----------------------------------------------------------------
 

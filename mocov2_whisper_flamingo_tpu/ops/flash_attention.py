@@ -31,6 +31,28 @@ from jax.experimental.pallas import tpu as pltpu
 
 NEG_INF = -1e30
 
+# Mesh routing for SPMD: ``pallas_call`` is an opaque custom call to GSPMD,
+# which replicates its operands — so under a sharded mesh the kernel must be
+# invoked through ``shard_map`` instead, partitioned batch-over-data and
+# head-over-model (attention is embarrassingly parallel across both axes; no
+# collectives are needed). Set once before tracing (Trainer does this for
+# model-axis meshes); cleared with ``set_attention_mesh(None)``.
+_ATTENTION_MESH: tuple | None = None
+
+
+def set_attention_mesh(mesh, batch_axis: str = "data",
+                       head_axis: str = "model") -> None:
+    """Route subsequent ``flash_attention`` calls through ``jax.shard_map``
+    over ``mesh`` (batch axis -> ``batch_axis``, head axis -> ``head_axis``).
+    ``None`` restores the plain single-program call. Takes effect at trace
+    time — set it before jitting the program that should be sharded."""
+    global _ATTENTION_MESH
+    _ATTENTION_MESH = None if mesh is None else (mesh, batch_axis, head_axis)
+
+
+def get_attention_mesh():
+    return _ATTENTION_MESH
+
 
 def _attention_kernel(
     q_ref, k_ref, v_ref, bias_ref,  # inputs
@@ -90,6 +112,20 @@ def _attention_kernel(
     def _finalize():
         denom = jnp.maximum(l_scr[:], 1e-30)
         out_ref[0] = (acc_scr[:] / denom).astype(out_ref.dtype)
+
+
+def _cost_estimate(b, h, tq_p, tk_p, d, qp, kp, vp):
+    """Scheduler hint for Mosaic; None when any dim is symbolic (jax.export
+    with a symbolic batch axis — CostEstimate fields must be ints)."""
+    try:
+        return pl.CostEstimate(
+            flops=int(4 * b * h * tq_p * tk_p * d),
+            bytes_accessed=int(
+                (qp.size + kp.size + vp.size + qp.size) * qp.dtype.itemsize),
+            transcendentals=int(b * h * tq_p * tk_p),
+        )
+    except TypeError:
+        return None
 
 
 def _pad_to(x: jnp.ndarray, axis: int, multiple: int):
@@ -164,11 +200,7 @@ def _flash_attention_fwd_impl(
             pltpu.VMEM((block_q, 1), jnp.float32),
             pltpu.VMEM((block_q, d), jnp.float32),
         ],
-        cost_estimate=pl.CostEstimate(
-            flops=4 * b * h * tq_p * tk_p * d,
-            bytes_accessed=(qp.size + kp.size + vp.size + qp.size) * qp.dtype.itemsize,
-            transcendentals=b * h * tq_p * tk_p,
-        ),
+        cost_estimate=_cost_estimate(b, h, tq_p, tk_p, d, qp, kp, vp),
     )(qp, kp, vp, bias_p[:, None, :])
     out = out[:, :tq]  # [B*H, Tq, D]
     return jnp.transpose(out.reshape(b, h, tq, d), (0, 2, 1, 3))
@@ -227,4 +259,30 @@ def flash_attention(
         bias = jnp.zeros((b, tk), jnp.float32)
     else:
         bias = jnp.where(kv_valid, 0.0, NEG_INF).astype(jnp.float32)
+
+    ctx = _ATTENTION_MESH
+    if ctx is not None:
+        mesh, baxis, haxis = ctx
+        n_b = mesh.shape.get(baxis, 1)
+        n_h = mesh.shape.get(haxis, 1)
+        h = q.shape[2]
+        if ((n_b > 1 or n_h > 1) and b % n_b == 0 and h % n_h == 0
+                and k.shape[0] == b):
+            from jax.sharding import PartitionSpec as P
+
+            qkv_spec = P(baxis, None, haxis, None)
+            fa = jax.shard_map(
+                lambda q_, k_, v_, b_: _flash_attention(
+                    q_, k_, v_, b_, float(scale), causal, block_q, block_k),
+                mesh=mesh,
+                in_specs=(qkv_spec, qkv_spec, qkv_spec, P(baxis, None)),
+                out_specs=qkv_spec,
+                check_vma=False,  # pallas_call has no replication rule
+            )
+            # NOTE on AD: q/k/v cotangents are shard-local exact (attention
+            # is independent across batch and heads). The bias cotangent
+            # would need a psum over the head axis, but bias is built from a
+            # bool mask here — its gradient chain terminates, so none is
+            # ever consumed.
+            return fa(q, k, v, bias)
     return _flash_attention(q, k, v, bias, float(scale), causal, block_q, block_k)
