@@ -122,6 +122,11 @@ TRAIN_DEFAULTS = dict(
     # "ctc_ce" (committed trainer, reference train.py) or "feature_mse"
     # (notebook-era feature-alignment pretraining, reference train.ipynb).
     loss_mode="ctc_ce",
+    # "int8": store the FROZEN whisper-encoder kernels int8 (w8a16) inside
+    # the train step — halves their per-step HBM reads; gradients are
+    # unaffected (the encoder output is stop_gradient'ed). Must be constant
+    # across a run: checkpoints save the quantized tree.
+    frozen_weight_quant=None,
 )
 
 AUGMENTATION_DEFAULTS = dict(

@@ -364,6 +364,36 @@ class WhisperEncoder:
             "ln_post": L.layer_norm_init(cfg.d_model),
         }
 
+    @staticmethod
+    def quantize_encoder_params(params: L.Params) -> L.Params:
+        """Weight-only int8 (w8a16) for the FROZEN encoder forward in the
+        train step (round-3 verdict, next #6): the backward re-reads but
+        never differentiates these weights (AVNet stop_gradients the
+        encoder output), so halving their HBM traffic is free of any
+        gradient cost. Quantizes every per-layer attention (q/k/v/out) and
+        MLP (fc1/fc2) kernel with per-output-channel scales
+        (``L.quantize_linear`` — exact scale algebra, ~0.4% RMS weight
+        rounding); conv1/conv2, pos_embed, and LN leaves stay fp32 (convs
+        are a different lowering and a measured TPU-fault risk to
+        reformulate, CLAUDE.md). ``apply`` dispatches on the quantized
+        leaves automatically (``L.linear`` kernel_q path)."""
+        params = dict(params)
+        layers = []
+        for lp in params["layers"]:
+            lp = dict(lp)
+            sa = dict(lp["self_attn"])
+            for name in ("q", "k", "v", "out"):
+                if name in sa:
+                    sa[name] = L.quantize_linear(sa[name])
+            lp["self_attn"] = sa
+            mlp = dict(lp["mlp"])
+            for name in ("fc1", "fc2"):
+                mlp[name] = L.quantize_linear(mlp[name])
+            lp["mlp"] = mlp
+            layers.append(lp)
+        params["layers"] = layers
+        return params
+
     def apply(self, params: L.Params, mel: jnp.ndarray) -> jnp.ndarray:
         """mel: [B, n_mels, T] (T = 3000 canonically) -> [B, T//2, D]."""
         cfg, prec = self.config, self.precision

@@ -121,8 +121,17 @@ class AVSRTask:
         """
 
         def step(params, opt_state, batch, rng):
-            (loss, losses), grads = jax.value_and_grad(self.loss_fn, has_aux=True)(
+            # allow_int: frozen subtrees may carry int8 w8a16 kernels
+            # (AVNet.quantize_frozen_params); their float0 cotangents are
+            # normalized to integer zeros so optax sees a uniform tree
+            # (they are masked from updates anyway, and XLA folds the
+            # resulting add-zero away).
+            (loss, losses), grads = jax.value_and_grad(
+                self.loss_fn, has_aux=True, allow_int=True)(
                 params, batch, rng, True)
+            grads = jax.tree.map(
+                lambda g, p: g if jnp.issubdtype(p.dtype, jnp.inexact)
+                else jnp.zeros_like(p), grads, params)
             updates, new_opt_state = optimizer.update(grads, opt_state, params)
             if skip_nonfinite:
                 # A poisoned step applies NO update at all (zeroing grads
@@ -135,7 +144,9 @@ class AVSRTask:
                     new_opt_state, opt_state)
                 losses = dict(losses, skipped=(~ok).astype(jnp.float32))
             params = jax.tree.map(
-                lambda p, u: p + u.astype(p.dtype) if u is not None else p,
+                lambda p, u: p + u.astype(p.dtype)
+                if u is not None and jnp.issubdtype(p.dtype, jnp.inexact)
+                else p,
                 params, updates)
             return params, new_opt_state, losses
 

@@ -209,3 +209,84 @@ def test_av_whisper_beam_weight_quant():
     assert r_q.sequences.shape == r_fp.sequences.shape
     np.testing.assert_allclose(np.asarray(r_q.scores), np.asarray(r_fp.scores),
                                atol=0.08)
+
+
+def test_frozen_encoder_int8_train_step():
+    """w8a16 on the FROZEN whisper-encoder kernels inside the train step
+    (round-3 verdict, next #6): the quantized-tree step runs, produces a
+    loss close to the fp32 step, updates trainable leaves, and leaves the
+    int8 frozen leaves bit-unchanged."""
+    import sys
+
+    sys.path.insert(0, "tests")
+    import test_training as tt
+    from mocov2_whisper_flamingo_tpu.training.optim import (
+        make_optimizer, trainable_mask_for)
+    from mocov2_whisper_flamingo_tpu.training.task import AVSRTask
+
+    net = tt._tiny_net()
+    dm = tt.SyntheticDataModule(n_batches=1)
+    batch = {k: jnp.asarray(v) for k, v in dm.batches[0].items()
+             if not isinstance(v, (list, str))}
+    params = net.init(jax.random.PRNGKey(0))
+    params_q = net.quantize_frozen_params(params)
+    enc_q = params_q["whisper_encoder"]["layers"][0]
+    assert enc_q["self_attn"]["q"]["kernel_q"].dtype == jnp.int8
+    assert enc_q["mlp"]["fc1"]["kernel_q"].dtype == jnp.int8
+    # conv stem deliberately unquantized (different lowering; CLAUDE.md)
+    assert "kernel" in params_q["whisper_encoder"]["conv1"]
+
+    def one_step(p):
+        mask = trainable_mask_for(net, p)
+        opt, _ = make_optimizer(
+            {"max_lr": 1e-3, "accumulate_grad_batches": 1}, 5, mask)
+        st = opt.init(p)
+        step = jax.jit(AVSRTask(net).make_train_step(opt))
+        return step(p, st, batch, jax.random.PRNGKey(1))
+
+    new_fp, _, losses_fp = one_step(params)
+    new_q, _, losses_q = one_step(params_q)
+    # int8 weight rounding perturbs the frozen encoder's features only
+    # slightly: losses stay close
+    assert abs(float(losses_q["loss"]) - float(losses_fp["loss"])) < 0.1, (
+        float(losses_q["loss"]), float(losses_fp["loss"]))
+    # trainable leaves moved identically-shaped; frozen int8 leaves froze
+    assert float(jnp.abs(new_q["decoder"]["kernel"]
+                         - params_q["decoder"]["kernel"]).max()) > 0
+    np.testing.assert_array_equal(
+        np.asarray(new_q["whisper_encoder"]["layers"][0]["self_attn"]["q"]["kernel_q"]),
+        np.asarray(enc_q["self_attn"]["q"]["kernel_q"]))
+    np.testing.assert_array_equal(
+        np.asarray(new_q["whisper_encoder"]["layers"][0]["self_attn"]["q"]["scale"]),
+        np.asarray(enc_q["self_attn"]["q"]["scale"]))
+
+
+def test_trainer_frozen_weight_quant_knob(tmp_path):
+    """training.frozen_weight_quant="int8" quantizes the frozen encoder at
+    setup and the full fit loop runs on the quantized tree."""
+    import sys
+
+    sys.path.insert(0, "tests")
+    import test_training as tt
+    from mocov2_whisper_flamingo_tpu.config import get_config
+    from mocov2_whisper_flamingo_tpu.training.trainer import Trainer
+    from mocov2_whisper_flamingo_tpu.utils.tokenizer import ByteTokenizer
+
+    cfg = get_config({
+        "training.epochs": 1,
+        "training.accumulate_grad_batches": 1,
+        "training.frozen_weight_quant": "int8",
+        "output.checkpoint_dir": str(tmp_path / "ckpt"),
+        "output.log_dir": str(tmp_path / "logs"),
+        "mesh.data": 4,
+        "mesh.model": 1,
+    })
+    net = tt._tiny_net()
+    trainer = Trainer(cfg, net, ByteTokenizer())
+    params = net.init(jax.random.PRNGKey(0))
+    params = trainer.fit(SyntheticDataModule_:= tt.SyntheticDataModule(
+        n_batches=2), params)
+    assert params["whisper_encoder"]["layers"][0]["self_attn"]["q"][
+        "kernel_q"].dtype == jnp.int8
+    metrics = trainer.validate(SyntheticDataModule_, params)
+    assert np.isfinite(metrics["loss"])
