@@ -271,7 +271,8 @@ def bench_streaming(net, params, long_chunks: int = 20,
 
 
 def bench_train(b: int = 4, iters: int = 5, remat: bool = False,
-                on_device_augment: bool = False) -> dict:
+                on_device_augment: bool = False,
+                frozen_weight_quant: str | None = None) -> dict:
     """Training-step throughput (opt-in via --train): joint CTC+CE step on
     the reference-parity AVNet (frozen whisper-small encoder + frozen MoCo
     ResNet-50 + trainable fusion; reference: train.py:143-170) with AdamW,
@@ -279,7 +280,13 @@ def bench_train(b: int = 4, iters: int = 5, remat: bool = False,
 
     ``on_device_augment`` fuses the full stochastic augmentation chain
     (SpecAugment/babble/LN + flip/jitter/gray/time-mask/normalize) into the
-    step, quantifying the device cost of ``augmentation.on_device`` mode."""
+    step, quantifying the device cost of ``augmentation.on_device`` mode.
+
+    ``frozen_weight_quant="ab"``: ALSO time the step with the frozen
+    Whisper-encoder kernels stored int8 (AVNet.quantize_frozen_params),
+    interleaved in the same process — extra keys
+    ``train_ms_per_step_int8`` / ``train_int8_loss_delta`` report the leg
+    (round-3 verdict, next #6)."""
     import jax
     import jax.numpy as jnp
     import optax
@@ -325,20 +332,49 @@ def bench_train(b: int = 4, iters: int = 5, remat: bool = False,
         flops = float(cost.get("flops", 0.0)) or None
     except Exception:
         pass
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        p2, o2, losses = step(p2, o2, batch, key)
-    jax_block(losses)
-    dt = (time.perf_counter() - t0) / iters
+    out_q = {}
+    if frozen_weight_quant == "ab":
+        # Same task/optimizer on the int8-frozen-encoder tree; its own
+        # opt_state (the tree structure differs on frozen leaves only, which
+        # adamw still walks). Warm both, interleave the timing.
+        params_q = net.quantize_frozen_params(params)
+        opt_state_q = optimizer.init(params_q)
+        step_q = jax.jit(task.make_train_step(optimizer))
+        pq, oq, losses_q = step_q(params_q, opt_state_q, batch, key)
+        jax_block(losses_q)
+        t_fp = t_q = 0.0
+        for _ in range(iters):
+            t0 = time.perf_counter()
+            p2, o2, losses = step(p2, o2, batch, key)
+            jax_block(losses)
+            t_fp += time.perf_counter() - t0
+            t0 = time.perf_counter()
+            pq, oq, losses_q = step_q(pq, oq, batch, key)
+            jax_block(losses_q)
+            t_q += time.perf_counter() - t0
+        dt = t_fp / iters
+        out_q = {
+            "train_ms_per_step_int8": t_q / iters * 1e3,
+            "train_int8_loss_delta": abs(
+                float(np.asarray(losses_q["loss"]))
+                - float(np.asarray(losses["loss"]))),
+        }
+    else:
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            p2, o2, losses = step(p2, o2, batch, key)
+        jax_block(losses)
+        dt = (time.perf_counter() - t0) / iters
     return {
         "train_ms_per_step": dt * 1e3,
         "train_clips_per_sec": b / dt,
         "train_mfu_pct": (flops / dt / PEAK_BF16_FLOPS * 100.0) if flops else None,
         "loss": float(np.asarray(losses["loss"])),
+        **out_q,
     }
 
 
-def bench_serving(n_requests: int = 64, buckets=(1, 16),
+def bench_serving(n_requests: int = 64, buckets=(1, 4, 8, 16),
                   max_wait_s: float = 0.01) -> dict:
     """Online-serving throughput/latency (opt-in via --serving): closed-loop
     load through the dynamic micro-batching engine (serving/engine.py) over
@@ -400,6 +436,30 @@ def bench_serving(n_requests: int = 64, buckets=(1, 16),
         host_rtf, results = saturate([payload] * n_requests)
         dev_rtf, _ = saturate(
             [dev_payloads[i % len(dev_payloads)] for i in range(n_requests)])
+
+        # Per-bucket REQUEST latency (round-3 verdict, weak #9): offer
+        # exactly `bucket` concurrent device-payload requests per round so
+        # the batcher fills that bucket; total_ms is enqueue->result (the
+        # number a client sees), queue_ms isolates the batching wait. The
+        # engine batches whole utterances, so a request's latency floor is
+        # one full beam decode of its bucket — no iteration-level
+        # (continuous) batching; documented in BASELINE.md.
+        per_bucket = {}
+        for bsz in buckets:
+            lat, qms = [], []
+            for _ in range(3):
+                reqs = [dev_payloads[i % len(dev_payloads)]
+                        for i in range(bsz)]
+                futs = [eng.submit(*p) for p in reqs]
+                for f in futs:
+                    r = f.result(timeout=600)
+                    lat.append(r.total_ms)
+                    qms.append(r.queue_ms)
+            per_bucket[bsz] = {
+                "p50_ms": round(pct(lat, 0.50), 1),
+                "p99_ms": round(pct(lat, 0.99), 1),
+                "queue_p50_ms": round(pct(qms, 0.50), 1),
+            }
         stats = eng.stats()
     finally:
         eng.close()
@@ -411,6 +471,7 @@ def bench_serving(n_requests: int = 64, buckets=(1, 16),
         "idle_p50_ms": pct(idle_ms, 0.50),
         "sat_p50_ms": pct(sat_ms, 0.50),
         "sat_p99_ms": pct(sat_ms, 0.99),
+        "latency_by_bucket": per_bucket,
         "bucket_counts": stats["bucket_counts"],
     }
 
@@ -430,6 +491,11 @@ def main() -> None:
     parser.add_argument("--train-augment", action="store_true",
                         help="fuse the on-device augmentation chain into "
                              "the --train step (augmentation.on_device)")
+    parser.add_argument("--train-frozen-quant", default=None,
+                        choices=(None, "ab"),
+                        help="'ab': interleave an int8-frozen-encoder leg "
+                             "into --train (w8a16 on the frozen whisper "
+                             "kernels)")
     parser.add_argument("--serving", action="store_true",
                         help="bench the online serving engine (closed-loop "
                              "load, throughput + latency percentiles)")
@@ -488,12 +554,14 @@ def main() -> None:
             "idle_p50_ms": round(r["idle_p50_ms"], 1),
             "sat_p50_ms": round(r["sat_p50_ms"], 1),
             "sat_p99_ms": round(r["sat_p99_ms"], 1),
+            "latency_by_bucket": r["latency_by_bucket"],
             "bucket_counts": r["bucket_counts"],
         }))
         return
     if args.train:
         r = bench_train(b=args.train_batch, remat=args.train_remat,
-                        on_device_augment=args.train_augment)
+                        on_device_augment=args.train_augment,
+                        frozen_weight_quant=args.train_frozen_quant)
         print(json.dumps({
             "metric": f"AVNet joint CTC+CE train step "
                       f"(B={args.train_batch}, fwd+bwd+AdamW"
@@ -502,6 +570,9 @@ def main() -> None:
             "unit": "ms/step",
             "clips_per_sec": round(r["train_clips_per_sec"], 2),
             "mfu_pct": r["train_mfu_pct"] and round(r["train_mfu_pct"], 2),
+            **({"ms_per_step_frozen_int8": round(r["train_ms_per_step_int8"], 2),
+                "frozen_int8_loss_delta": round(r["train_int8_loss_delta"], 5)}
+               if "train_ms_per_step_int8" in r else {}),
         }))
         return
     sizes = [s.strip() for s in args.sizes.split(",") if s.strip()]
