@@ -66,13 +66,20 @@ class GatedCrossModalFusion:
 
     def __init__(self, d_model: int, n_heads: int, n_layers: int, dropout: float = 0.1,
                  precision: L.Precision = L.FP32, backend: str = "xla",
-                 remat: bool = False):
+                 remat: bool = False, fused_kernel: bool = False):
         self.d_model = d_model
         self.n_heads = n_heads
         self.n_layers = n_layers
         self.dropout_rate = dropout
         self.precision = precision
         self.backend = backend
+        # Retired default (round 4): the fully-fused gated-attention kernel
+        # exactly matches XLA's automatic fusion of this block (2.1 vs
+        # 2.1 ms at B=4 T=400) and has no shard_map wrapper for TP, while
+        # the flash-attention sub-kernel both wins ~25% on the MHA itself
+        # and shards. fused_kernel=True re-selects the monolithic kernel
+        # (kept for long-sequence schedule ownership; see docs/DESIGN.md).
+        self.fused_kernel = fused_kernel
         # Rematerialize each gated block on the backward pass (trade FLOPs
         # for activation memory — jax.checkpoint; the AMP analog knob is
         # config precision.rematerialize).
@@ -113,7 +120,8 @@ class GatedCrossModalFusion:
             attn_dropout = train and attn_rng is not None and self.dropout_rate > 0
             # The fused Pallas kernel cannot drop out attention probs (they
             # are never materialized); train-mode fusion falls back to XLA.
-            if self.backend == "pallas" and not attn_dropout:
+            if (self.backend == "pallas" and self.fused_kernel
+                    and not attn_dropout):
                 # Fully-fused gated attention: LN -> q-proj -> MHA ->
                 # out-proj -> tanh-gate -> residual in ONE Pallas kernel
                 # (the K/V projections of the x-independent video stream are

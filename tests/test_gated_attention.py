@@ -96,6 +96,15 @@ def test_fusion_module_pallas_backend_matches_xla(rng):
         layer["ff_gate"] = jnp.asarray(-0.4)
     ref = fusion_x.apply(params, x, xa, video_valid=valid)
 
-    fusion_p = GatedCrossModalFusion(D, H, n_layers=1, dropout=0.0, backend="pallas")
+    fusion_p = GatedCrossModalFusion(D, H, n_layers=1, dropout=0.0,
+                                     backend="pallas", fused_kernel=True)
     ours = _run(fusion_p.apply, params, x, xa, video_valid=valid)
     np.testing.assert_allclose(np.asarray(ours), np.asarray(ref), **TOL)
+
+    # the retired default (fused_kernel=False) routes the MHA through the
+    # flash-attention kernel instead — same numbers
+    fusion_f = GatedCrossModalFusion(D, H, n_layers=1, dropout=0.0,
+                                     backend="pallas")
+    assert fusion_f.fused_kernel is False
+    ours_f = _run(fusion_f.apply, params, x, xa, video_valid=valid)
+    np.testing.assert_allclose(np.asarray(ours_f), np.asarray(ref), **TOL)

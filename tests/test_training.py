@@ -279,9 +279,25 @@ def test_tp_mesh_routes_pallas_through_shard_map(tmp_path):
         Trainer(cfg, net, ByteTokenizer())
         assert net.backend == "pallas"
         assert net.whisper_encoder.backend == "pallas"
-        assert net.fusion.backend == "xla"  # gated kernel has no shard_map
+        # default fusion path (flash attention) shard_maps — stays pallas
+        assert net.fusion.backend == "pallas"
         ctx = get_attention_mesh()
         assert ctx is not None and ctx[0].shape == {"data": 4, "model": 2}
+    finally:
+        set_attention_mesh(None)
+
+    # opt-in monolithic gated kernel has no shard_map wrapper -> fenced
+    net_fk = AVNet("audiovisual", None, 96, MODELARGS, VOCAB, backend="pallas")
+    net_fk.fusion.fused_kernel = True
+    try:
+        cfg_fk = get_config({
+            "output.checkpoint_dir": str(tmp_path / "ckpt_fk"),
+            "output.log_dir": str(tmp_path / "logs_fk"),
+            "mesh.data": 4,
+            "mesh.model": 2,
+        })
+        Trainer(cfg_fk, net_fk, ByteTokenizer())
+        assert net_fk.fusion.backend == "xla"
     finally:
         set_attention_mesh(None)
 
