@@ -120,7 +120,8 @@ def jax_block(tree):
 
 def bench_size(whisper_name: str, b: int = B, iters: int = 5,
                cache_quant: str | None = None,
-               weight_quant: str | None = None):
+               weight_quant: str | None = None,
+               read_windows=None):
     """Measure one model size; returns a dict of timings.
 
     ``cache_quant="int8"``: int8 KV caches (models/whisper.py) — the
@@ -145,7 +146,7 @@ def bench_size(whisper_name: str, b: int = B, iters: int = 5,
         decode = jax.jit(lambda p, bt: net.beam(
             p, _preprocess(bt), PREFIX, beam_size=BEAM, max_len=MAX_TOKENS,
             eos_id=EOS, cache_quant=cache_quant,
-            weight_quant=wq).sequences)
+            weight_quant=wq, read_windows=read_windows).sequences)
         encode = jax.jit(lambda p, bt: net.encode(p, _preprocess(bt)))
         return decode, encode
 
@@ -615,11 +616,16 @@ def main() -> None:
         # so the wide bucket buys only a modest rtf gain — reported so the
         # serving-throughput curve is on record.
         try:
+            from mocov2_whisper_flamingo_tpu.decode.beam import (
+                default_read_windows)
+
             r16 = bench_size("whisper-small", b=16, iters=3,
-                             cache_quant=args.b16_quant)
+                             cache_quant=args.b16_quant,
+                             read_windows=default_read_windows(MAX_TOKENS))
             throughput = r16["rtf"]
             print(f"[bench] whisper-small B=16 serving bucket"
-                  f"{' (int8 KV)' if args.b16_quant else ''}: "
+                  f"{' (int8 KV)' if args.b16_quant else ''}"
+                  f" (windowed-prefix scan): "
                   f"rtf={throughput:.1f}x "
                   f"decode={r16['decode_ms_per_step']:.2f}ms/step",
                   file=sys.stderr)

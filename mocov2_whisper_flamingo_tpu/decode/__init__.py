@@ -8,7 +8,8 @@ capability built here.
 """
 
 from mocov2_whisper_flamingo_tpu.decode.greedy import greedy_decode  # noqa: F401
-from mocov2_whisper_flamingo_tpu.decode.beam import beam_search  # noqa: F401
+from mocov2_whisper_flamingo_tpu.decode.beam import (  # noqa: F401
+    beam_search, default_read_windows)
 from mocov2_whisper_flamingo_tpu.decode.logit_rules import LogitRules  # noqa: F401
 from mocov2_whisper_flamingo_tpu.decode.streaming import StreamingDecoder  # noqa: F401
 from mocov2_whisper_flamingo_tpu.decode.sampling import (  # noqa: F401

@@ -60,6 +60,23 @@ class BeamResult:
     scores: jnp.ndarray     # [B, K] length-normalized log probs
 
 
+def default_read_windows(max_len: int) -> tuple[int, ...] | None:
+    """Default windowed-prefix ladder: fifths of ``max_len``, rounded to 8.
+    Measured on v5e at the B=16 bucket (max_len 160): the fifths ladder
+    (32, 64, 96, 128, 160) took the decode from 10.24 -> 6.25 ms/step
+    (thirds: 7.71), tokens bit-identical; B=4 measured 1.296 -> 1.249
+    (BASELINE.md round 4). None below 48 tokens: at short budgets the
+    segments would be noise."""
+    if max_len < 48:
+        return None
+    rungs = []
+    for i in range(1, 5):
+        w = int(round(max_len * i / 5 / 8)) * 8
+        if w >= 16 and (not rungs or w > rungs[-1]) and w < max_len:
+            rungs.append(w)
+    return tuple(rungs) + (max_len,) if rungs else None
+
+
 def _gather_beams(tree, beam_idx: jnp.ndarray, b: int, k: int):
     """Reorder the leading [B*K] axis of every leaf by per-batch beam index
     [B, K_new] (values in [0, K)). Used by the ``use_ancestry=False``
@@ -104,6 +121,7 @@ def beam_search(
     logit_rules=None,
     renorm_after_rules: bool = False,
     cache_quant: str | None = None,
+    read_windows=None,
 ) -> BeamResult:
     """Batched beam search; returns the K best finished hypotheses per
     example, best first. EOS-terminated hypotheses include their EOS; the
@@ -131,7 +149,19 @@ def beam_search(
 
     ``cache_quant="int8"``: int8 KV caches with folded scales
     (models/whisper.py ``init_cache``) — halves per-step cache HBM traffic
-    for bandwidth-bound wide buckets at ~0.4% per-row quantization error."""
+    for bandwidth-bound wide buckets at ~0.4% per-row quantization error.
+
+    ``read_windows``: ascending static cache-window ladder ending at
+    ``max_len`` (e.g. ``(48, 96, 160)``) — the windowed-prefix scan. The
+    fixed-shape scan otherwise touches the FULL max_len-sized self cache
+    and ancestry tensor every step even when only ``i`` positions are
+    live; profiling the B=16 bucket showed the step cost scaling with the
+    ALLOCATED length (2.7 ms/step at L=36 vs 8.7 at L=160), so the decode
+    runs as consecutive scan segments, each attending a static prefix
+    slice sized to its ladder rung. One jit, no extra host round trips;
+    segment boundaries cost one cache-window concat each. Positions beyond
+    ``i`` contribute exactly zero probability either way, so results are
+    identical to the unwindowed scan. Requires ``use_ancestry``."""
     b = encoder_out.shape[0]
     k = beam_size
     k2 = 2 * k
@@ -257,9 +287,61 @@ def beam_search(
         return (i + 1, run_tokens, run_scores, pool_tokens, pool_scores,
                 heur_ok, cache, anc), None
 
-    state = (jnp.int32(n_prefix - 1), run_tokens, run_scores, pool_tokens,
-             pool_scores, heur_ok, cache, anc)
-    state, _ = jax.lax.scan(body, state, None, length=max_len - n_prefix)
+    if read_windows is None:
+        state = (jnp.int32(n_prefix - 1), run_tokens, run_scores, pool_tokens,
+                 pool_scores, heur_ok, cache, anc)
+        state, _ = jax.lax.scan(body, state, None, length=max_len - n_prefix)
+    else:
+        if not use_ancestry:
+            raise ValueError("read_windows requires use_ancestry=True "
+                             "(the cache-reorder fallback rewrites full "
+                             "cache leaves each step)")
+        windows = [int(w) for w in read_windows]
+        if windows != sorted(set(windows)) or windows[-1] != max_len:
+            raise ValueError(f"read_windows must be ascending and end at "
+                             f"max_len={max_len}: {windows}")
+        # Drop rungs too small to host the first step's ancestry pin at
+        # position n_prefix (scan s covers i while i+1 <= W-1).
+        windows = [w for w in windows if w >= n_prefix + 2] or [max_len]
+        if windows[-1] != max_len:
+            windows.append(max_len)
+
+        def window_self(cache, anc, w):
+            win, tail = [], []
+            for layer in cache:
+                win.append({"self": {kk: vv[:, :w]
+                                     for kk, vv in layer["self"].items()},
+                            "cross": layer["cross"]})
+                tail.append({kk: vv[:, w:]
+                             for kk, vv in layer["self"].items()})
+            return win, tail, anc[..., :w], anc[..., w:]
+
+        cache_win, cache_tail, anc_win, anc_tail = window_self(
+            cache, anc, windows[0])
+        i_cur = n_prefix - 1
+        state = (jnp.int32(i_cur), run_tokens, run_scores, pool_tokens,
+                 pool_scores, heur_ok, cache_win, anc_win)
+        for si, w in enumerate(windows):
+            stop = max_len - 1 if si == len(windows) - 1 else w - 1
+            steps = stop - i_cur
+            if steps > 0:
+                state, _ = jax.lax.scan(body, state, None, length=steps)
+                i_cur = stop
+            if si < len(windows) - 1:
+                delta = windows[si + 1] - w
+                (i_, rt, rs, pt, ps, ho, cache_win, anc_win) = state
+                cache_win = [
+                    {"self": {kk: jnp.concatenate(
+                        [vv, cache_tail[li][kk][:, :delta]], axis=1)
+                        for kk, vv in layer["self"].items()},
+                     "cross": layer["cross"]}
+                    for li, layer in enumerate(cache_win)]
+                cache_tail = [{kk: vv[:, delta:] for kk, vv in t.items()}
+                              for t in cache_tail]
+                anc_win = jnp.concatenate(
+                    [anc_win, anc_tail[..., :delta]], axis=3)
+                anc_tail = anc_tail[..., delta:]
+                state = (i_, rt, rs, pt, ps, ho, cache_win, anc_win)
     _, _, _, pool_tokens, pool_scores, _, _, _ = state
     # lax.top_k keeps the pool sorted best-first.
     return BeamResult(sequences=pool_tokens, scores=pool_scores)

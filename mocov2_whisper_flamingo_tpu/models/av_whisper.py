@@ -157,15 +157,17 @@ class AVWhisperNet:
              beam_size: int = 5, max_len: int = 224, eos_id: int = 0,
              length_penalty: float = 1.0, logit_rules=None,
              cache_quant: str | None = None,
-             weight_quant: str | None = None) -> BeamResult:
+             weight_quant: str | None = None,
+             read_windows=None) -> BeamResult:
         """``logit_rules``: optional ``decode.LogitRules`` (HF-default
         Whisper suppress/forced/timestamp semantics — required for WER
         parity with HF ``generate`` once pretrained weights load).
         ``weight_quant="int8"``: weight-only int8 decode step (see
-        ``WhisperDecoder.quantize_decode_params``)."""
+        ``WhisperDecoder.quantize_decode_params``). ``read_windows``: the
+        windowed-prefix scan ladder (decode/beam.py)."""
         features, valid = self.encode(params, input_batch)
         return beam_search(self.decoder, self._decode_params(params, weight_quant),
                            features, prefix_ids, beam_size=beam_size, max_len=max_len,
                            eos_id=eos_id, length_penalty=length_penalty,
                            encoder_valid=valid, logit_rules=logit_rules,
-                           cache_quant=cache_quant)
+                           cache_quant=cache_quant, read_windows=read_windows)

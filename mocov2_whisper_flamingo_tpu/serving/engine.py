@@ -357,6 +357,7 @@ def make_av_engine(
     buckets: Sequence[int] = DEFAULT_BUCKETS,
     max_wait_s: float = 0.005,
     video_resize: int = 64,
+    read_windows: Sequence[int] | None = "auto",
 ) -> ServingEngine:
     """Serving engine over ``models.av_whisper.AVWhisperNet``.
 
@@ -364,10 +365,21 @@ def make_av_engine(
       mel [3000, 80] f32, audio_mask [3000] bool, video uint8
       [T, 3, H, W] raw ROI frames (device-side resize/normalize, the
       round-3 uint8-shipping path), video_mask [T] bool, video_len i32.
+
+    ``read_windows="auto"`` (default): windowed-prefix decode scan with a
+    thirds ladder over max_len (decode/beam.py) — bit-identical tokens,
+    measured -25%/step at the wide buckets where the per-step cache write
+    loses in-place aliasing (BASELINE.md round-4 profiler row). Pass None
+    for the single full-window scan.
     """
     import jax
 
+    from mocov2_whisper_flamingo_tpu.decode.beam import default_read_windows
+
     prefix = [int(t) for t in prefix_ids]
+    if read_windows == "auto":
+        read_windows = default_read_windows(max_len)
+    windows = tuple(read_windows) if read_windows else None
 
     @jax.jit
     def _decode(p, batch):
@@ -379,7 +391,8 @@ def make_av_engine(
             p, (audio, audio_mask, video, video_mask, video_len),
             prefix, beam_size=beam_size, max_len=max_len, eos_id=eos_id,
             logit_rules=logit_rules, cache_quant=cache_quant,
-            weight_quant=weight_quant).sequences[:, 0]  # top hypothesis per row
+            weight_quant=weight_quant,
+            read_windows=windows).sequences[:, 0]  # top hypothesis per row
 
     def decode_batch(batch):
         # Async device_put before the jitted call — see make_audio_engine.

@@ -453,3 +453,40 @@ def test_int8_cache_greedy_and_beam_run(setup):
         np.testing.assert_allclose(np.asarray(r_q.scores)[:, 0],
                                    np.asarray(r_fp.scores)[:, 0],
                                    rtol=0.15, atol=0.3)
+
+
+def test_windowed_prefix_scan_matches_full(setup):
+    """The windowed-prefix scan (read_windows ladder) must reproduce the
+    unwindowed beam search: positions beyond the live index contribute
+    exactly zero probability either way, so sequences are identical and
+    scores match to fp tolerance (the segment boundary changes nothing but
+    static slice sizes)."""
+    dec, params, enc_out = setup
+    max_len = 24
+    full = beam_search(dec, params, enc_out, PREFIX, beam_size=3,
+                       max_len=max_len, eos_id=EOS)
+    for ladder in [(8, 16, 24), (6, 24), (24,), (4, 8, 12, 16, 20, 24)]:
+        win = beam_search(dec, params, enc_out, PREFIX, beam_size=3,
+                          max_len=max_len, eos_id=EOS, read_windows=ladder)
+        np.testing.assert_array_equal(
+            np.asarray(win.sequences), np.asarray(full.sequences),
+            err_msg=f"ladder {ladder}")
+        np.testing.assert_allclose(np.asarray(win.scores),
+                                   np.asarray(full.scores), atol=1e-5)
+    # jit-compilability of the segmented program
+    f = jax.jit(lambda p, e: beam_search(
+        dec, p, e, PREFIX, beam_size=3, max_len=max_len, eos_id=EOS,
+        read_windows=(8, 16, 24)).sequences)
+    np.testing.assert_array_equal(np.asarray(f(params, enc_out)),
+                                  np.asarray(full.sequences))
+    # guards: unsorted ladder / wrong terminal / reorder fallback
+    with pytest.raises(ValueError):
+        beam_search(dec, params, enc_out, PREFIX, beam_size=3,
+                    max_len=max_len, eos_id=EOS, read_windows=(16, 8, 24))
+    with pytest.raises(ValueError):
+        beam_search(dec, params, enc_out, PREFIX, beam_size=3,
+                    max_len=max_len, eos_id=EOS, read_windows=(8, 16))
+    with pytest.raises(ValueError):
+        beam_search(dec, params, enc_out, PREFIX, beam_size=3,
+                    max_len=max_len, eos_id=EOS, read_windows=(8, 24),
+                    use_ancestry=False)
