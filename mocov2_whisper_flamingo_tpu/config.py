@@ -123,9 +123,13 @@ TRAIN_DEFAULTS = dict(
     # (notebook-era feature-alignment pretraining, reference train.ipynb).
     loss_mode="ctc_ce",
     # "int8": store the FROZEN whisper-encoder kernels int8 (w8a16) inside
-    # the train step — halves their per-step HBM reads; gradients are
-    # unaffected (the encoder output is stop_gradient'ed). Must be constant
-    # across a run: checkpoints save the quantized tree.
+    # the train step. Gradients are unaffected (the encoder output is
+    # stop_gradient'ed) and checkpoints save the quantized tree (keep the
+    # knob constant across a run). MEASURED STRONGLY NEGATIVE on v5e
+    # (BASELINE.md round 4: 354 -> 10,977 ms/step at B=16 — XLA's
+    # dequantizing-dot lowering is pathological at encoder training
+    # shapes); leave None for training, use weight_quant="int8" on the
+    # DECODE side instead where it wins +24-32%.
     frozen_weight_quant=None,
 )
 
