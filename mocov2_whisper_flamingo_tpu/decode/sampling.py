@@ -307,12 +307,16 @@ def decode_with_fallback(
             # avg_logprob sits on the same scale as the sampled rungs and
             # the logprob gate — HF's no-renorm convention deflates scores
             # at grammar-constrained steps (forced timestamps etc.).
+            from mocov2_whisper_flamingo_tpu.decode.beam import (
+                default_read_windows)
+
             r = beam_search(decoder, params, encoder_out, prefix_ids,
                             beam_size=beam_size, max_len=max_len,
                             eos_id=eos_id, length_penalty=length_penalty,
                             encoder_valid=encoder_valid,
                             logit_rules=logit_rules,
-                            renorm_after_rules=True)
+                            renorm_after_rules=True,
+                            read_windows=default_read_windows(max_len))
             seq = np.asarray(r.sequences[:, 0])
             avg = _beam_avg_logprob(seq, np.asarray(r.scores[:, 0]),
                                     n_prefix, eos_id, length_penalty)

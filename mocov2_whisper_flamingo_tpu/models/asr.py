@@ -88,10 +88,15 @@ class WhisperASR:
             return greedy_decode(self.decoder, dec_params, enc,
                                  prefix_ids, max_len, eos_id,
                                  logit_rules=logit_rules)
+        from mocov2_whisper_flamingo_tpu.decode.beam import (
+            default_read_windows)
+
         res: BeamResult = beam_search(self.decoder, dec_params, enc,
                                       prefix_ids, beam_size=beam_size,
                                       max_len=max_len, eos_id=eos_id,
-                                      logit_rules=logit_rules)
+                                      logit_rules=logit_rules,
+                                      read_windows=default_read_windows(
+                                          max_len))
         return res.sequences[:, 0]
 
     def detect_language(

@@ -27,8 +27,9 @@ def main() -> None:
     max_len = len(PREFIX) + steps
     ladder = tuple(int(x) for x in sys.argv[4].split(",")) if len(sys.argv) > 4 \
         else (48, 96, max_len)
+    size = sys.argv[5] if len(sys.argv) > 5 else "small"
 
-    net, params = _build("whisper-small")
+    net, params = _build(f"whisper-{size}")
     rng = np.random.default_rng(0)
     batch = _make_batch(rng, b)
     encode = jax.jit(lambda p, bt: net.encode(p, _preprocess(bt)))
@@ -60,7 +61,8 @@ def main() -> None:
         t_win += time.perf_counter() - t0
 
     print(json.dumps({
-        "b": b, "steps": steps, "iters": iters, "ladder": list(ladder),
+        "b": b, "size": size, "steps": steps, "iters": iters,
+        "ladder": list(ladder),
         "full_ms_per_step": round(t_full / iters / steps * 1e3, 3),
         "windowed_ms_per_step": round(t_win / iters / steps * 1e3, 3),
         "tokens_match": bool(np.array_equal(full_out, win_out)),
