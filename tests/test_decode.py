@@ -490,3 +490,23 @@ def test_windowed_prefix_scan_matches_full(setup):
         beam_search(dec, params, enc_out, PREFIX, beam_size=3,
                     max_len=max_len, eos_id=EOS, read_windows=(8, 24),
                     use_ancestry=False)
+
+
+def test_windowed_scan_composes_with_cache_quant(setup):
+    """read_windows x cache_quant (the bench's B=16 leg may combine them):
+    the windowed int8/int8-cross scans must equal their unwindowed twins
+    token-for-token (windows only change static slice sizes; scales are
+    windowed alongside k/v)."""
+    dec, params, enc_out = setup
+    max_len = 24
+    for q in ("int8", "int8-cross"):
+        full = beam_search(dec, params, enc_out, PREFIX, beam_size=3,
+                           max_len=max_len, eos_id=EOS, cache_quant=q)
+        win = beam_search(dec, params, enc_out, PREFIX, beam_size=3,
+                          max_len=max_len, eos_id=EOS, cache_quant=q,
+                          read_windows=(8, 16, 24))
+        np.testing.assert_array_equal(np.asarray(win.sequences),
+                                      np.asarray(full.sequences),
+                                      err_msg=f"cache_quant={q}")
+        np.testing.assert_allclose(np.asarray(win.scores),
+                                   np.asarray(full.scores), atol=1e-5)
