@@ -510,3 +510,19 @@ def test_windowed_scan_composes_with_cache_quant(setup):
                                       err_msg=f"cache_quant={q}")
         np.testing.assert_allclose(np.asarray(win.scores),
                                    np.asarray(full.scores), atol=1e-5)
+
+
+def test_default_read_windows_shapes():
+    """Ladder generator edge cases: ascending, ends at max_len, multiples
+    of 8 below the top, None below the 48-token floor."""
+    from mocov2_whisper_flamingo_tpu.decode import default_read_windows
+
+    assert default_read_windows(160) == (32, 64, 96, 128, 160)
+    assert default_read_windows(224) == (48, 88, 136, 176, 224)
+    assert default_read_windows(47) is None
+    for ml in (48, 53, 100, 448):
+        ladder = default_read_windows(ml)
+        assert ladder is not None and ladder[-1] == ml
+        assert list(ladder) == sorted(set(ladder))
+        assert all(w % 8 == 0 for w in ladder[:-1])
+        assert ladder[0] >= 16
