@@ -131,6 +131,7 @@ def test_production_blocks_interpret(rng):
     np.testing.assert_allclose(np.asarray(ours_c), np.asarray(ref_c), **TOL)
 
 
+@pytest.mark.skipif(ON_TPU, reason="needs an 8-device mesh; the TPU rig has one chip")
 def test_shard_map_dp_tp_parity(rng):
     """Flash attention routed through shard_map on a dp=4 x tp=2 mesh
     (round-3 verdict, weak #5: model>1 meshes used to fall back to XLA
@@ -174,6 +175,7 @@ def test_shard_map_dp_tp_parity(rng):
         np.testing.assert_allclose(np.asarray(g), np.asarray(gr), **GRAD_TOL)
 
 
+@pytest.mark.skipif(ON_TPU, reason="needs an 8-device mesh; the TPU rig has one chip")
 def test_shard_map_indivisible_heads_falls_back(rng):
     """Head count not divisible by the model axis -> plain (unsharded)
     kernel call, still correct."""
