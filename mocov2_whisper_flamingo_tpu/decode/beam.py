@@ -122,6 +122,7 @@ def beam_search(
     renorm_after_rules: bool = False,
     cache_quant: str | None = None,
     read_windows=None,
+    cache_layout: str = "rows",
 ) -> BeamResult:
     """Batched beam search; returns the K best finished hypotheses per
     example, best first. EOS-terminated hypotheses include their EOS; the
@@ -161,20 +162,32 @@ def beam_search(
     slice sized to its ladder rung. One jit, no extra host round trips;
     segment boundaries cost one cache-window concat each. Positions beyond
     ``i`` contribute exactly zero probability either way, so results are
-    identical to the unwindowed scan. Requires ``use_ancestry``."""
+    identical to the unwindowed scan. Requires ``use_ancestry``.
+
+    ``cache_layout="bhjtd"``: einsum-native [B, H, K, T, Dh] self caches
+    (models/whisper.py ``init_cache``) — the ancestry einsums' batch dims
+    lead, so the per-step cache write and the score dot agree on the
+    physical layout; measured faster at the wide serving buckets where the
+    rows layout pays per-step relayout copies, and orders of magnitude
+    faster to compile. Token-exact vs "rows" (same algebra, same values).
+    Requires ``use_ancestry``."""
     b = encoder_out.shape[0]
     k = beam_size
     k2 = 2 * k
     prefix = jnp.asarray(prefix_ids, dtype=jnp.int32)
     n_prefix = int(prefix.shape[0])
     lp = float(length_penalty)
+    if cache_layout != "rows" and not use_ancestry:
+        raise ValueError("cache_layout='bhjtd' requires use_ancestry=True "
+                         "(the cache-reorder fallback reads row-aligned "
+                         "caches)")
 
     # Self caches get B*K rows; the cross K/V stays B-major (beam rows would
     # be identical copies) — each example's cross cache is computed and read
     # once per step regardless of beam width, and never reordered.
     enc_valid = encoder_valid
     cache = decoder.init_cache(params, encoder_out, max_len=max_len, beam_groups=k,
-                               quant=cache_quant)
+                               quant=cache_quant, layout=cache_layout)
 
     run_tokens = jnp.full((b, k, max_len), eos_id, dtype=jnp.int32)
     run_tokens = run_tokens.at[:, :, :n_prefix].set(prefix[None, None, :])
@@ -193,10 +206,18 @@ def beam_search(
         if use_ancestry else None
 
     # Teacher-force the prefix through the cache (all beams identical here).
+    # The bhjtd layout is readable only through the ancestry path; identity
+    # ancestry IS row-aligned attention (each row reads its own slots), so
+    # passing it here is exact. The rows layout keeps the cheaper masked
+    # single-row attention.
+    prefix_anc = anc if cache_layout != "rows" else None
+
     def prefix_step(carry, i):
         cache = carry
         cur = jnp.broadcast_to(prefix[i], (b * k, 1)).astype(jnp.int32)
-        _, cache = decoder.decode_step(params, cur, cache, i, encoder_valid=enc_valid)
+        _, cache = decoder.decode_step(params, cur, cache, i,
+                                       encoder_valid=enc_valid,
+                                       ancestry=prefix_anc)
         return cache, None
 
     if n_prefix > 1:
@@ -306,13 +327,21 @@ def beam_search(
         if windows[-1] != max_len:
             windows.append(max_len)
 
+        # Time axis of every self-cache leaf: 1 in the rows layout
+        # ([rows, T, H, Dh] / [rows, T, H] scales), 3 in bhjtd
+        # ([B, H, J, T, Dh] / [B, H, J, T] scales).
+        t_ax = 3 if cache[0]["self"]["k"].ndim == 5 else 1
+
+        def t_slice(vv, lo, hi):
+            return jax.lax.slice_in_dim(vv, lo, hi, axis=t_ax)
+
         def window_self(cache, anc, w):
             win, tail = [], []
             for layer in cache:
-                win.append({"self": {kk: vv[:, :w]
+                win.append({"self": {kk: t_slice(vv, 0, w)
                                      for kk, vv in layer["self"].items()},
                             "cross": layer["cross"]})
-                tail.append({kk: vv[:, w:]
+                tail.append({kk: t_slice(vv, w, vv.shape[t_ax])
                              for kk, vv in layer["self"].items()})
             return win, tail, anc[..., :w], anc[..., w:]
 
@@ -332,11 +361,13 @@ def beam_search(
                 (i_, rt, rs, pt, ps, ho, cache_win, anc_win) = state
                 cache_win = [
                     {"self": {kk: jnp.concatenate(
-                        [vv, cache_tail[li][kk][:, :delta]], axis=1)
+                        [vv, t_slice(cache_tail[li][kk], 0, delta)],
+                        axis=t_ax)
                         for kk, vv in layer["self"].items()},
                      "cross": layer["cross"]}
                     for li, layer in enumerate(cache_win)]
-                cache_tail = [{kk: vv[:, delta:] for kk, vv in t.items()}
+                cache_tail = [{kk: t_slice(vv, delta, vv.shape[t_ax])
+                               for kk, vv in t.items()}
                               for t in cache_tail]
                 anc_win = jnp.concatenate(
                     [anc_win, anc_tail[..., :delta]], axis=3)

@@ -158,16 +158,20 @@ class AVWhisperNet:
              length_penalty: float = 1.0, logit_rules=None,
              cache_quant: str | None = None,
              weight_quant: str | None = None,
-             read_windows=None) -> BeamResult:
+             read_windows=None,
+             cache_layout: str = "rows") -> BeamResult:
         """``logit_rules``: optional ``decode.LogitRules`` (HF-default
         Whisper suppress/forced/timestamp semantics — required for WER
         parity with HF ``generate`` once pretrained weights load).
         ``weight_quant="int8"``: weight-only int8 decode step (see
         ``WhisperDecoder.quantize_decode_params``). ``read_windows``: the
-        windowed-prefix scan ladder (decode/beam.py)."""
+        windowed-prefix scan ladder (decode/beam.py).
+        ``cache_layout="bhjtd"``: einsum-native self caches (decode/beam.py,
+        models/whisper.py ``init_cache``)."""
         features, valid = self.encode(params, input_batch)
         return beam_search(self.decoder, self._decode_params(params, weight_quant),
                            features, prefix_ids, beam_size=beam_size, max_len=max_len,
                            eos_id=eos_id, length_penalty=length_penalty,
                            encoder_valid=valid, logit_rules=logit_rules,
-                           cache_quant=cache_quant, read_windows=read_windows)
+                           cache_quant=cache_quant, read_windows=read_windows,
+                           cache_layout=cache_layout)

@@ -109,6 +109,57 @@ def _quantize_kv(x: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
     return q, scale
 
 
+def _native_cache_write(cache: dict, k, v, k_s, v_s, cache_index,
+                        write_gate) -> dict:
+    """Write one step's K/V rows into an einsum-native [B, H, J, T, Dh]
+    self cache (``init_cache(layout="bhjtd")``).
+
+    k/v arrive row-major [B*J, 1, H, Dh] (with [B*J, 1, H] scales when the
+    cache is int8) straight off the projection; the transpose to the
+    cache's (b, h, j) leading dims is a [B*J, H, Dh]-sized shuffle — noise
+    next to the per-step cache traffic the layout exists to avoid. The
+    ``write_gate`` semantics match the rows layout: when False the rows at
+    ``cache_index`` are preserved (streaming's fixed-trip overrun guard).
+    """
+    b, h, j = cache["k"].shape[:3]
+
+    def to_native(x):  # [B*J, 1, H, Dh] -> [B, H, J, 1, Dh]
+        return x.reshape(b, j, h, x.shape[-1]).transpose(0, 2, 1, 3)[
+            :, :, :, None, :]
+
+    def scale_native(s):  # [B*J, 1, H] -> [B, H, J, 1]
+        return s.reshape(b, j, h).transpose(0, 2, 1)[..., None]
+
+    k, v = to_native(k), to_native(v)
+    quant = k_s is not None
+    if quant:
+        k_s, v_s = scale_native(k_s), scale_native(v_s)
+    if write_gate is not None:
+        at = (0, 0, 0, cache_index, 0)
+        k = jnp.where(write_gate, k,
+                      jax.lax.dynamic_slice(cache["k"], at, k.shape))
+        v = jnp.where(write_gate, v,
+                      jax.lax.dynamic_slice(cache["v"], at, v.shape))
+        if quant:
+            at_s = (0, 0, 0, cache_index)
+            k_s = jnp.where(write_gate, k_s, jax.lax.dynamic_slice(
+                cache["k_scale"], at_s, k_s.shape))
+            v_s = jnp.where(write_gate, v_s, jax.lax.dynamic_slice(
+                cache["v_scale"], at_s, v_s.shape))
+    new_cache = {
+        "k": jax.lax.dynamic_update_slice(
+            cache["k"], k, (0, 0, 0, cache_index, 0)),
+        "v": jax.lax.dynamic_update_slice(
+            cache["v"], v, (0, 0, 0, cache_index, 0)),
+    }
+    if quant:
+        new_cache["k_scale"] = jax.lax.dynamic_update_slice(
+            cache["k_scale"], k_s, (0, 0, 0, cache_index))
+        new_cache["v_scale"] = jax.lax.dynamic_update_slice(
+            cache["v_scale"], v_s, (0, 0, 0, cache_index))
+    return new_cache
+
+
 def _ancestry_attention(q, k, v, ancestry, cache_index,
                         k_scale=None, v_scale=None):
     """Single-query self-attention over an APPEND-ONLY beam cache.
@@ -131,34 +182,53 @@ def _ancestry_attention(q, k, v, ancestry, cache_index,
     (adds zeros), so decode results are bit-identical to the reordering
     implementation.
 
-    q: [B*K, 1, H, Dh]; k, v: [B*K, L, H, Dh]; ancestry: [B, K, K, L].
-    ``k_scale``/``v_scale`` [B*K, L, H]: present when the cache is int8
-    (``init_cache(quant="int8")``) — the HBM reads stay int8 and the
-    per-(position, head) scales fold into the score/probability algebra.
-    Returns [B*K, 1, H, Dh].
+    q: [B*K, 1, H, Dh]; k, v: [B*K, L, H, Dh] (rows layout) or
+    [B, H, K, L, Dh] (``init_cache(layout="bhjtd")`` — the einsum-native
+    layout: the contraction batch dims (b, h) lead, so at wide buckets
+    neither the score dot nor the per-step cache write needs a relayout;
+    probed 20%/cache faster per step and ~300x faster to compile at B=16,
+    L=160 on v5e — tools/cache_layout_probe.py). ancestry: [B, K, K, L].
+    ``k_scale``/``v_scale`` ([B*K, L, H] rows / [B, H, K, L] bhjtd):
+    present when the cache is int8 (``init_cache(quant="int8")``) — the
+    HBM reads stay int8 and the per-(position, head) scales fold into the
+    score/probability algebra. Returns [B*K, 1, H, Dh].
     """
     bk, _, h, dh = q.shape
     b, kk, _, l_ = ancestry.shape
     q4 = q.reshape(b, kk, h, dh)
-    k5 = k.reshape(b, kk, *k.shape[1:])  # [B, J, L, H, Dh]
-    v5 = v.reshape(b, kk, *v.shape[1:])
     anc = ancestry.astype(jnp.float32)
-    s_all = jnp.einsum("bnhd,bjthd->bnjht", q4, k5.astype(q4.dtype),
-                       preferred_element_type=jnp.float32)
-    if k_scale is not None:
-        # scale [B, J, L, H] -> broadcast over the beam (n) axis as [.., H, T]
-        ks = k_scale.reshape(b, kk, l_, h).transpose(0, 1, 3, 2)
-        s_all = s_all * ks[:, None]
+    native = k.ndim == 5  # [B, H, J, T, Dh] einsum-native layout
+    if native:
+        k5, v5 = k, v
+        s_all = jnp.einsum("bnhd,bhjtd->bnjht", q4, k5.astype(q4.dtype),
+                           preferred_element_type=jnp.float32)
+        if k_scale is not None:
+            # scale [B, H, J, T] -> [B, 1(n), J, H, T]
+            s_all = s_all * k_scale.transpose(0, 2, 1, 3)[:, None]
+    else:
+        k5 = k.reshape(b, kk, *k.shape[1:])  # [B, J, L, H, Dh]
+        v5 = v.reshape(b, kk, *v.shape[1:])
+        s_all = jnp.einsum("bnhd,bjthd->bnjht", q4, k5.astype(q4.dtype),
+                           preferred_element_type=jnp.float32)
+        if k_scale is not None:
+            # scale [B, J, L, H] -> broadcast over the beam (n) axis as
+            # [.., H, T]
+            ks = k_scale.reshape(b, kk, l_, h).transpose(0, 1, 3, 2)
+            s_all = s_all * ks[:, None]
     s = jnp.einsum("bnjht,bnjt->bnht", s_all, anc) * (dh ** -0.5)
     valid = jnp.arange(l_) <= cache_index
     s = jnp.where(valid[None, None, None, :], s, -1e30)
     p = jax.nn.softmax(s, axis=-1)
     w = p[:, :, None] * anc[:, :, :, None, :]  # [B, N, J, H, T]
     if v_scale is not None:
-        vs = v_scale.reshape(b, kk, l_, h).transpose(0, 1, 3, 2)
+        vs = (v_scale.transpose(0, 2, 1, 3) if native
+              else v_scale.reshape(b, kk, l_, h).transpose(0, 1, 3, 2))
         w = w * vs[:, None]
     w = w.astype(q.dtype)
-    out = jnp.einsum("bnjht,bjthd->bnhd", w, v5.astype(q.dtype))
+    if native:
+        out = jnp.einsum("bnjht,bhjtd->bnhd", w, v5.astype(q.dtype))
+    else:
+        out = jnp.einsum("bnjht,bjthd->bnhd", w, v5.astype(q.dtype))
     return out.reshape(bk, 1, h, dh)
 
 
@@ -232,6 +302,24 @@ def attention_block(
             else:
                 k = k.astype(cache["k"].dtype)
                 v = v.astype(cache["v"].dtype)
+            if cache["k"].ndim == 5:
+                # Einsum-native [B, H, J, T, Dh] layout (init_cache
+                # layout="bhjtd"): only the ancestry beam path can read it.
+                if ancestry is None:
+                    raise ValueError(
+                        "bhjtd cache layout requires ancestry beam "
+                        "attention (row-aligned decode reads [rows, L, H, "
+                        "Dh] caches)")
+                new_cache = _native_cache_write(
+                    cache, k, v,
+                    k_s if quant else None, v_s if quant else None,
+                    cache_index, write_gate)
+                out = _ancestry_attention(
+                    q, new_cache["k"], new_cache["v"], ancestry, cache_index,
+                    k_scale=new_cache.get("k_scale"),
+                    v_scale=new_cache.get("v_scale"))
+                return (L.linear(params["out"], _merge_heads(out), precision),
+                        new_cache)
             if write_gate is not None:
                 old_k = jax.lax.dynamic_slice(
                     cache["k"], (0, cache_index, 0, 0), k.shape)
@@ -606,7 +694,8 @@ class WhisperDecoder:
 
     def init_cache(self, params: L.Params, encoder_out: jnp.ndarray,
                    max_len: int | None = None, dtype=None,
-                   beam_groups: int = 1, quant: str | None = None) -> list[dict]:
+                   beam_groups: int = 1, quant: str | None = None,
+                   layout: str = "rows") -> list[dict]:
         """Pre-allocate per-layer self-attn caches and precompute cross-attn
         K/V from the encoder output (computed once per utterance — the big
         win of KV-cached decoding).
@@ -630,6 +719,19 @@ class WhisperDecoder:
         cross cache is the larger traffic (Tenc=1500 vs <=448 positions),
         is written exactly once, and its scales fold into the attention
         algebra for free — this mode keeps that win and skips the cost.
+
+        ``layout``: physical self-cache layout. ``"rows"`` (default):
+        [B*K, T, H, Dh] — row-aligned, readable by every decode path.
+        ``"bhjtd"``: einsum-native [B, H, K, T, Dh] (scales [B, H, K, T])
+        — the ancestry-beam score/value einsums batch over (b, h), so with
+        those dims leading neither the dot nor the per-step
+        dynamic_update_slice needs a relayout; at the wide serving buckets
+        where XLA otherwise lays the rows layout dot-minor and the DUS
+        degrades to window-sized copies this is both faster per step and
+        orders of magnitude faster to compile (tools/cache_layout_probe.py;
+        BASELINE.md round-4 cache-layout rows). Only the ancestry beam
+        path can read it — greedy/sampling/row-aligned decode require
+        "rows".
         """
         cfg = self.config
         b = encoder_out.shape[0]
@@ -639,9 +741,17 @@ class WhisperDecoder:
             # Caches in the compute dtype: on bf16 policies this halves the
             # per-step HBM traffic of cache reads and beam reorders.
             dtype = prec.compute_dtype
+        if layout == "bhjtd":
+            kv_shape = (b, cfg.n_heads, beam_groups, max_len, cfg.head_dim)
+            scale_shape = (b, cfg.n_heads, beam_groups, max_len)
+        elif layout == "rows":
+            kv_shape = (b * beam_groups, max_len, cfg.n_heads, cfg.head_dim)
+            scale_shape = (b * beam_groups, max_len, cfg.n_heads)
+        else:
+            raise ValueError(f"unknown cache layout {layout!r}; "
+                             "expected 'rows' or 'bhjtd'")
         caches = []
         enc = prec.cast(encoder_out)
-        rows = b * beam_groups
         for lp in params["layers"]:
             ck = _split_heads(L.linear(lp["cross_attn"]["k"], enc, prec), cfg.n_heads)
             cv = _split_heads(L.linear(lp["cross_attn"]["v"], enc, prec), cfg.n_heads)
@@ -651,23 +761,23 @@ class WhisperDecoder:
                 cross = {"k": ckq, "k_scale": cks, "v": cvq, "v_scale": cvs}
                 if quant == "int8-cross":
                     self_cache = {
-                        "k": jnp.zeros((rows, max_len, cfg.n_heads, cfg.head_dim), dtype),
-                        "v": jnp.zeros((rows, max_len, cfg.n_heads, cfg.head_dim), dtype),
+                        "k": jnp.zeros(kv_shape, dtype),
+                        "v": jnp.zeros(kv_shape, dtype),
                     }
                 else:
                     self_cache = {
-                        "k": jnp.zeros((rows, max_len, cfg.n_heads, cfg.head_dim), jnp.int8),
-                        "k_scale": jnp.zeros((rows, max_len, cfg.n_heads), jnp.float32),
-                        "v": jnp.zeros((rows, max_len, cfg.n_heads, cfg.head_dim), jnp.int8),
-                        "v_scale": jnp.zeros((rows, max_len, cfg.n_heads), jnp.float32),
+                        "k": jnp.zeros(kv_shape, jnp.int8),
+                        "k_scale": jnp.zeros(scale_shape, jnp.float32),
+                        "v": jnp.zeros(kv_shape, jnp.int8),
+                        "v_scale": jnp.zeros(scale_shape, jnp.float32),
                     }
             elif quant is not None:
                 raise ValueError(f"unknown cache quant {quant!r}")
             else:
                 cross = {"k": ck.astype(dtype), "v": cv.astype(dtype)}
                 self_cache = {
-                    "k": jnp.zeros((rows, max_len, cfg.n_heads, cfg.head_dim), dtype),
-                    "v": jnp.zeros((rows, max_len, cfg.n_heads, cfg.head_dim), dtype),
+                    "k": jnp.zeros(kv_shape, dtype),
+                    "v": jnp.zeros(kv_shape, dtype),
                 }
             caches.append({"self": self_cache, "cross": cross})
         return caches

@@ -358,6 +358,7 @@ def make_av_engine(
     max_wait_s: float = 0.005,
     video_resize: int = 64,
     read_windows: Sequence[int] | None = "auto",
+    cache_layout: str = "rows",
 ) -> ServingEngine:
     """Serving engine over ``models.av_whisper.AVWhisperNet``.
 
@@ -391,8 +392,8 @@ def make_av_engine(
             p, (audio, audio_mask, video, video_mask, video_len),
             prefix, beam_size=beam_size, max_len=max_len, eos_id=eos_id,
             logit_rules=logit_rules, cache_quant=cache_quant,
-            weight_quant=weight_quant,
-            read_windows=windows).sequences[:, 0]  # top hypothesis per row
+            weight_quant=weight_quant, read_windows=windows,
+            cache_layout=cache_layout).sequences[:, 0]  # top hypothesis/row
 
     def decode_batch(batch):
         # Async device_put before the jitted call — see make_audio_engine.
