@@ -121,7 +121,8 @@ def jax_block(tree):
 def bench_size(whisper_name: str, b: int = B, iters: int = 5,
                cache_quant: str | None = None,
                weight_quant: str | None = None,
-               read_windows=None):
+               read_windows=None,
+               cache_layout: str = "rows"):
     """Measure one model size; returns a dict of timings.
 
     ``cache_quant="int8"``: int8 KV caches (models/whisper.py) — the
@@ -146,7 +147,8 @@ def bench_size(whisper_name: str, b: int = B, iters: int = 5,
         decode = jax.jit(lambda p, bt: net.beam(
             p, _preprocess(bt), PREFIX, beam_size=BEAM, max_len=MAX_TOKENS,
             eos_id=EOS, cache_quant=cache_quant,
-            weight_quant=wq, read_windows=read_windows).sequences)
+            weight_quant=wq, read_windows=read_windows,
+            cache_layout=cache_layout).sequences)
         encode = jax.jit(lambda p, bt: net.encode(p, _preprocess(bt)))
         return decode, encode
 
@@ -273,7 +275,8 @@ def bench_streaming(net, params, long_chunks: int = 20,
 
 def bench_train(b: int = 4, iters: int = 5, remat: bool = False,
                 on_device_augment: bool = False,
-                frozen_weight_quant: str | None = None) -> dict:
+                frozen_weight_quant: str | None = None,
+                frozen_cast: str | None = None) -> dict:
     """Training-step throughput (opt-in via --train): joint CTC+CE step on
     the reference-parity AVNet (frozen whisper-small encoder + frozen MoCo
     ResNet-50 + trainable fusion; reference: train.py:143-170) with AdamW,
@@ -287,7 +290,13 @@ def bench_train(b: int = 4, iters: int = 5, remat: bool = False,
     Whisper-encoder kernels stored int8 (AVNet.quantize_frozen_params),
     interleaved in the same process — extra keys
     ``train_ms_per_step_int8`` / ``train_int8_loss_delta`` report the leg
-    (round-3 verdict, next #6)."""
+    (round-3 verdict, next #6).
+
+    ``frozen_cast="ab"``: ALSO time the step with the frozen trees (Whisper
+    encoder + MoCo frontend) STORED bf16 (AVNet.cast_frozen_params — the
+    non-pathological sibling of the int8 experiment: no dequantizing dot,
+    just half the frozen HBM read), interleaved; extra keys
+    ``train_ms_per_step_frozen_bf16`` / ``train_frozen_bf16_loss_delta``."""
     import jax
     import jax.numpy as jnp
     import optax
@@ -334,11 +343,17 @@ def bench_train(b: int = 4, iters: int = 5, remat: bool = False,
     except Exception:
         pass
     out_q = {}
+    variant = None
     if frozen_weight_quant == "ab":
-        # Same task/optimizer on the int8-frozen-encoder tree; its own
-        # opt_state (the tree structure differs on frozen leaves only, which
-        # adamw still walks). Warm both, interleave the timing.
-        params_q = net.quantize_frozen_params(params)
+        variant = ("int8", net.quantize_frozen_params)
+    elif frozen_cast == "ab":
+        variant = ("frozen_bf16", net.cast_frozen_params)
+    if variant is not None:
+        # Same task/optimizer on the transformed-frozen-tree variant; its
+        # own opt_state (the tree structure/dtypes differ on frozen leaves
+        # only, which adamw still walks). Warm both, interleave the timing.
+        tag, transform = variant
+        params_q = transform(params)
         opt_state_q = optimizer.init(params_q)
         step_q = jax.jit(task.make_train_step(optimizer))
         pq, oq, losses_q = step_q(params_q, opt_state_q, batch, key)
@@ -355,8 +370,8 @@ def bench_train(b: int = 4, iters: int = 5, remat: bool = False,
             t_q += time.perf_counter() - t0
         dt = t_fp / iters
         out_q = {
-            "train_ms_per_step_int8": t_q / iters * 1e3,
-            "train_int8_loss_delta": abs(
+            f"train_ms_per_step_{tag}": t_q / iters * 1e3,
+            f"train_{tag}_loss_delta": abs(
                 float(np.asarray(losses_q["loss"]))
                 - float(np.asarray(losses["loss"]))),
         }
@@ -497,6 +512,11 @@ def main() -> None:
                         help="'ab': interleave an int8-frozen-encoder leg "
                              "into --train (w8a16 on the frozen whisper "
                              "kernels)")
+    parser.add_argument("--train-frozen-cast", default=None,
+                        choices=(None, "ab"),
+                        help="'ab': interleave a bf16-stored-frozen-trees "
+                             "leg into --train (halves the frozen HBM read "
+                             "with no dequantizing dot)")
     parser.add_argument("--serving", action="store_true",
                         help="bench the online serving engine (closed-loop "
                              "load, throughput + latency percentiles)")
@@ -562,7 +582,8 @@ def main() -> None:
     if args.train:
         r = bench_train(b=args.train_batch, remat=args.train_remat,
                         on_device_augment=args.train_augment,
-                        frozen_weight_quant=args.train_frozen_quant)
+                        frozen_weight_quant=args.train_frozen_quant,
+                        frozen_cast=args.train_frozen_cast)
         print(json.dumps({
             "metric": f"AVNet joint CTC+CE train step "
                       f"(B={args.train_batch}, fwd+bwd+AdamW"
@@ -574,16 +595,27 @@ def main() -> None:
             **({"ms_per_step_frozen_int8": round(r["train_ms_per_step_int8"], 2),
                 "frozen_int8_loss_delta": round(r["train_int8_loss_delta"], 5)}
                if "train_ms_per_step_int8" in r else {}),
+            **({"ms_per_step_frozen_bf16":
+                    round(r["train_ms_per_step_frozen_bf16"], 2),
+                "frozen_bf16_loss_delta":
+                    round(r["train_frozen_bf16_loss_delta"], 5)}
+               if "train_ms_per_step_frozen_bf16" in r else {}),
         }))
         return
     sizes = [s.strip() for s in args.sizes.split(",") if s.strip()]
+
+    from mocov2_whisper_flamingo_tpu.decode.beam import default_read_windows
 
     result = None
     for size in sizes:
         name = f"whisper-{size}"
         b = B if size in ("small", "base", "tiny") else 2
+        # Batch-aware windowed ladder on the headline leg (round-5 A/B:
+        # thirds ladder at B=4 1.277 -> 1.233 ms/step, tokens exact;
+        # medium B=2 measured -2% in round 4).
         r = bench_size(name, b=b, iters=5 if size == "small" else 3,
-                       weight_quant=args.weight_quant)
+                       weight_quant=args.weight_quant,
+                       read_windows=default_read_windows(MAX_TOKENS, batch=b))
         quant_tag = ' (int8 weights)' if args.weight_quant == 'int8' else ''
         print(f"[bench] {name} B={b}{quant_tag}: "
               f"rtf={r['rtf']:.1f}x "
@@ -616,16 +648,20 @@ def main() -> None:
         # so the wide bucket buys only a modest rtf gain — reported so the
         # serving-throughput curve is on record.
         try:
-            from mocov2_whisper_flamingo_tpu.decode.beam import (
-                default_read_windows)
-
+            # bhjtd cache layout at the wide bucket: the round-5 on-chip A/B
+            # (tools/cache_layout_ab.py) measured 6.25 -> 5.34 ms/step over
+            # rows with the same fifths ladder (10.24 -> 7.52 unwindowed),
+            # tokens exact; rows stays the winner at B=4/8 (1.49 vs 1.58,
+            # 1.63 vs 2.64), so the layout flips at B>=16 only.
             r16 = bench_size("whisper-small", b=16, iters=3,
                              cache_quant=args.b16_quant,
-                             read_windows=default_read_windows(MAX_TOKENS))
+                             read_windows=default_read_windows(MAX_TOKENS,
+                                                               batch=16),
+                             cache_layout="bhjtd")
             throughput = r16["rtf"]
             print(f"[bench] whisper-small B=16 serving bucket"
                   f"{' (int8 KV)' if args.b16_quant else ''}"
-                  f" (windowed-prefix scan): "
+                  f" (windowed-prefix scan, bhjtd cache): "
                   f"rtf={throughput:.1f}x "
                   f"decode={r16['decode_ms_per_step']:.2f}ms/step",
                   file=sys.stderr)

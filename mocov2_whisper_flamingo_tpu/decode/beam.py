@@ -60,18 +60,29 @@ class BeamResult:
     scores: jnp.ndarray     # [B, K] length-normalized log probs
 
 
-def default_read_windows(max_len: int) -> tuple[int, ...] | None:
-    """Default windowed-prefix ladder: fifths of ``max_len``, rounded to 8.
-    Measured on v5e at the B=16 bucket (max_len 160): the fifths ladder
-    (32, 64, 96, 128, 160) took the decode from 10.24 -> 6.25 ms/step
-    (thirds: 7.71), tokens bit-identical; B=4 measured 1.296 -> 1.249
-    (BASELINE.md round 4). None below 48 tokens: at short budgets the
-    segments would be noise."""
+def default_read_windows(max_len: int,
+                         batch: int | None = None) -> tuple[int, ...] | None:
+    """Default windowed-prefix ladder, batch-aware.
+
+    Wide batches (``batch >= 16``): fifths of ``max_len`` rounded to 8 —
+    measured on v5e at the B=16 bucket (max_len 160): (32, 64, 96, 128,
+    160) took the decode from 10.24 -> 6.25 ms/step (thirds: 7.71), tokens
+    bit-identical (BASELINE.md round 4). Narrow batches (default): thirds
+    floored to 16 — at B=4 the fifths ladder's extra segment concats cost
+    more than they save (1.27 -> 1.49 ms/step measured round 5) while the
+    thirds ladder (48, 96, 160) wins 1.277 -> 1.233 (-3.4%), tokens exact.
+    None below 48 tokens: at short budgets the segments would be noise."""
     if max_len < 48:
         return None
+    if batch is not None and batch >= 16:
+        n, q = 5, 8
+        rung = lambda i: int(round(max_len * i / n / q)) * q
+    else:
+        n, q = 3, 16
+        rung = lambda i: int(max_len * i / n / q) * q
     rungs = []
-    for i in range(1, 5):
-        w = int(round(max_len * i / 5 / 8)) * 8
+    for i in range(1, n):
+        w = rung(i)
         if w >= 16 and (not rungs or w > rungs[-1]) and w < max_len:
             rungs.append(w)
     return tuple(rungs) + (max_len,) if rungs else None
@@ -168,19 +179,26 @@ def beam_search(
     (models/whisper.py ``init_cache``) — the ancestry einsums' batch dims
     lead, so the per-step cache write and the score dot agree on the
     physical layout; measured faster at the wide serving buckets where the
-    rows layout pays per-step relayout copies, and orders of magnitude
-    faster to compile. Token-exact vs "rows" (same algebra, same values).
-    Requires ``use_ancestry``."""
+    rows layout pays per-step relayout copies (B=16 on v5e: 10.24 -> 7.52
+    ms/step unwindowed, 6.25 -> 5.34 with the fifths ladder). MEASURED
+    token-exact vs "rows": the algebra is the same but the prefix pass and
+    the differently-laid-out einsums may reduce in different order, so
+    exactness is verified empirically — tests/test_cache_layout.py and the
+    ``tokens_match`` field of tools/cache_layout_ab.py (true in every
+    on-chip run). Requires ``use_ancestry``."""
     b = encoder_out.shape[0]
     k = beam_size
     k2 = 2 * k
     prefix = jnp.asarray(prefix_ids, dtype=jnp.int32)
     n_prefix = int(prefix.shape[0])
     lp = float(length_penalty)
+    if cache_layout not in ("rows", "bhjtd"):
+        raise ValueError(f"unknown cache_layout {cache_layout!r}; "
+                         "expected 'rows' or 'bhjtd'")
     if cache_layout != "rows" and not use_ancestry:
-        raise ValueError("cache_layout='bhjtd' requires use_ancestry=True "
-                         "(the cache-reorder fallback reads row-aligned "
-                         "caches)")
+        raise ValueError(f"cache_layout={cache_layout!r} requires "
+                         "use_ancestry=True (the cache-reorder fallback "
+                         "reads row-aligned caches)")
 
     # Self caches get B*K rows; the cross K/V stays B-major (beam rows would
     # be identical copies) — each example's cross cache is computed and read
@@ -209,7 +227,11 @@ def beam_search(
     # The bhjtd layout is readable only through the ancestry path; identity
     # ancestry IS row-aligned attention (each row reads its own slots), so
     # passing it here is exact. The rows layout keeps the cheaper masked
-    # single-row attention.
+    # single-row attention. (Cost note: with bhjtd each prefix step runs
+    # full ancestry attention over the max_len-sized cache — windowing
+    # starts after the prefix scan. n_prefix is ~4, so this hasn't
+    # measured; if it ever shows up at wide buckets, slice the cache and
+    # ancestry to the first read_windows rung for the prefix scan.)
     prefix_anc = anc if cache_layout != "rows" else None
 
     def prefix_step(carry, i):

@@ -316,7 +316,8 @@ def decode_with_fallback(
                             encoder_valid=encoder_valid,
                             logit_rules=logit_rules,
                             renorm_after_rules=True,
-                            read_windows=default_read_windows(max_len))
+                            read_windows=default_read_windows(
+                                max_len, batch=encoder_out.shape[0]))
             seq = np.asarray(r.sequences[:, 0])
             avg = _beam_avg_logprob(seq, np.asarray(r.scores[:, 0]),
                                     n_prefix, eos_id, length_penalty)

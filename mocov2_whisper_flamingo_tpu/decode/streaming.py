@@ -102,9 +102,20 @@ class StreamingDecoder:
                  beam_size: int = 1, length_penalty: float = 1.0,
                  rollover: bool = True, context_tokens: int = 0,
                  sot_prev_id: int | None = None, logit_rules=None,
-                 initial_context: list[int] | None = None):
+                 initial_context: list[int] | None = None,
+                 cache_layout: str = "rows"):
+        if cache_layout not in ("rows", "bhjtd"):
+            raise ValueError(f"unknown cache_layout {cache_layout!r}; "
+                             "expected 'rows' or 'bhjtd'")
         self.decoder = decoder
         self.params = params
+        # Persistent-chunk-cache layout (see models/whisper.py init_cache):
+        # "rows" [K, L, H, Dh] is the measured default at the streaming
+        # B=1 x K shape (narrow batch keeps DUS aliasing, like the B=4
+        # batch decode where rows wins); "bhjtd" [1, H, K, L, Dh] is the
+        # einsum-native layout that wins at wide buckets — selectable here
+        # so wide-batch streaming variants can pick it.
+        self.cache_layout = cache_layout
         self.prefix_ids = [int(t) for t in prefix_ids]
         # Conditioning prompt (openai ``initial_prompt``): decoded against
         # but never committed. It sits at the FRONT of each rollover's
@@ -159,9 +170,12 @@ class StreamingDecoder:
         dtype = self.decoder.precision.compute_dtype
         tokens = np.full((k, l_), self.eos_id, np.int32)
         tokens[:, : len(window_prefix)] = window_prefix
+        if self.cache_layout == "bhjtd":
+            kv_shape = (1, cfg.n_heads, k, l_, cfg.head_dim)
+        else:
+            kv_shape = (k, l_, cfg.n_heads, cfg.head_dim)
         caches = [
-            {"k": jnp.zeros((k, l_, cfg.n_heads, cfg.head_dim), dtype),
-             "v": jnp.zeros((k, l_, cfg.n_heads, cfg.head_dim), dtype)}
+            {"k": jnp.zeros(kv_shape, dtype), "v": jnp.zeros(kv_shape, dtype)}
             for _ in range(cfg.decoder_layers)
         ]
         return caches, jnp.asarray(tokens), jnp.int32(len(window_prefix) - 1)
@@ -186,14 +200,28 @@ class StreamingDecoder:
         # only traced into the no-rollover program.
         gate_writes = not self.rollover
 
+        native = self.cache_layout == "bhjtd"
+
         def fn(params, encoder_out, enc_valid, self_caches, tokens, i0):
             cross = _cross_caches(decoder, params, encoder_out)
             cache = [{"self": s, "cross": c} for s, c in zip(self_caches, cross)]
 
+            # Ancestry-mask beam attention (see decode/beam.py): caches are
+            # append-only within the chunk; the one physical gather happens
+            # at the commit below, amortized over the whole chunk.
+            eye_k = jnp.eye(k, dtype=jnp.float32)
+            anc0 = jnp.broadcast_to(eye_k[None, :, :, None], (1, k, k, l_)) + 0.0
+
             def prime_step(cache, i):
                 cur = jnp.broadcast_to(tokens[:1, i], (k,))[:, None]
                 _, cache = decoder.decode_step(
-                    params, cur, cache, i, encoder_valid=enc_valid)
+                    params, cur, cache, i, encoder_valid=enc_valid,
+                    # bhjtd caches are readable only through the ancestry
+                    # path; identity ancestry IS row-aligned attention, so
+                    # priming with it is exact (see decode/beam.py
+                    # prefix_anc). The rows layout keeps the cheaper masked
+                    # single-row read.
+                    ancestry=anc0 if native else None)
                 return cache, None
 
             if n_prime > 0:
@@ -201,11 +229,6 @@ class StreamingDecoder:
 
             scores = jnp.array([0.0] + [NEG_INF] * (k - 1), jnp.float32)
             done = jnp.zeros((k,), bool)
-            # Ancestry-mask beam attention (see decode/beam.py): caches are
-            # append-only within the chunk; the one physical gather happens
-            # at the commit below, amortized over the whole chunk.
-            eye_k = jnp.eye(k, dtype=jnp.float32)
-            anc0 = jnp.broadcast_to(eye_k[None, :, :, None], (1, k, k, l_)) + 0.0
 
             def body(state, _):
                 i, tokens, scores, done, cache, anc = state
@@ -269,12 +292,21 @@ class StreamingDecoder:
             best = jnp.argmax(norm)
             tokens = jnp.broadcast_to(tokens[best][None], (k, l_))
             sel = anc[0, best]  # [J, T]: one-hot row choice per position
-            self_caches = [
-                {name: jnp.broadcast_to(
-                    jnp.einsum("jt,jthd->thd", sel.astype(buf.dtype), buf),
-                    buf.shape)
-                 for name, buf in layer["self"].items()}
-                for layer in cache]
+            if native:  # [1, H, J, T, Dh]: select the line, replicate over J
+                self_caches = [
+                    {name: jnp.broadcast_to(
+                        jnp.einsum("jt,bhjtd->bhtd",
+                                   sel.astype(buf.dtype), buf)[:, :, None],
+                        buf.shape)
+                     for name, buf in layer["self"].items()}
+                    for layer in cache]
+            else:
+                self_caches = [
+                    {name: jnp.broadcast_to(
+                        jnp.einsum("jt,jthd->thd", sel.astype(buf.dtype), buf),
+                        buf.shape)
+                     for name, buf in layer["self"].items()}
+                    for layer in cache]
 
             pos = jnp.arange(l_)
             i_new = jnp.max(jnp.where(tokens[0] != eos, pos, 0))
@@ -427,6 +459,7 @@ def transcribe_long_form(
     text_fn=None,
     key=None,
     return_segments: bool = False,
+    cache_layout: str = "rows",
 ) -> list[int] | tuple[list[int], list[dict]]:
     """End-to-end long-form ASR: waveform of arbitrary length -> 30 s chunks
     -> log-mel -> encoder -> streaming decode with a persistent KV cache
@@ -628,7 +661,8 @@ def transcribe_long_form(
         length_penalty=length_penalty, rollover=rollover,
         context_tokens=context_tokens, sot_prev_id=sot_prev_id,
         logit_rules=logit_rules,
-        initial_context=[int(t) for t in (initial_prompt_ids or [])] or None)
+        initial_context=[int(t) for t in (initial_prompt_ids or [])] or None,
+        cache_layout=cache_layout)
     out: list[int] = []
     segments = []
     for i in range(n_chunks):

@@ -96,7 +96,7 @@ class WhisperASR:
                                       max_len=max_len, eos_id=eos_id,
                                       logit_rules=logit_rules,
                                       read_windows=default_read_windows(
-                                          max_len))
+                                          max_len, batch=enc.shape[0]))
         return res.sequences[:, 0]
 
     def detect_language(

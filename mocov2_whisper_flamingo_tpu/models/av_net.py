@@ -162,6 +162,30 @@ class AVNet:
             params["whisper_encoder"])
         return params
 
+    def cast_frozen_params(self, params: dict, dtype=jnp.bfloat16) -> dict:
+        """bf16 STORAGE for the frozen subtrees (Whisper encoder + MoCo
+        frontend) in the train step. The step is dominated by the frozen
+        forward (BASELINE.md train sweep: 25.9% MFU ceiling at B=16), whose
+        weights are never differentiated (``stop_gradient`` above) yet are
+        stored fp32 and cast to bf16 at every use — so each step re-reads
+        ~2x the necessary frozen bytes from HBM. Storing them bf16 makes
+        the per-use cast a no-op and halves that read, with no dequantizing
+        dot (the lowering that made int8 frozen weights 31x SLOWER on v5e,
+        BASELINE.md round-4 A/B). Numerics: matmul/conv operands were
+        already bf16-rounded at use under the BF16 policy; only the fp32
+        LayerNorm/BN-affine islands now see bf16-rounded weights — measure
+        the loss delta via ``bench.py --train --train-frozen-cast ab``.
+        Trainable subtrees pass through untouched; keep fp32 masters in
+        checkpoints and cast at placement (training.frozen_param_dtype)."""
+        def cast(x):
+            return (x.astype(dtype)
+                    if jnp.issubdtype(x.dtype, jnp.floating) else x)
+
+        params = dict(params)
+        params["whisper_encoder"] = jax.tree.map(cast, params["whisper_encoder"])
+        params["visual_frontend"] = jax.tree.map(cast, params["visual_frontend"])
+        return params
+
     # -- forward ----------------------------------------------------------------
 
     def forward(

@@ -358,7 +358,7 @@ def make_av_engine(
     max_wait_s: float = 0.005,
     video_resize: int = 64,
     read_windows: Sequence[int] | None = "auto",
-    cache_layout: str = "rows",
+    cache_layout: str = "auto",
 ) -> ServingEngine:
     """Serving engine over ``models.av_whisper.AVWhisperNet``.
 
@@ -367,20 +367,26 @@ def make_av_engine(
       [T, 3, H, W] raw ROI frames (device-side resize/normalize, the
       round-3 uint8-shipping path), video_mask [T] bool, video_len i32.
 
-    ``read_windows="auto"`` (default): windowed-prefix decode scan with a
-    thirds ladder over max_len (decode/beam.py) — bit-identical tokens,
-    measured -25%/step at the wide buckets where the per-step cache write
-    loses in-place aliasing (BASELINE.md round-4 profiler row). Pass None
-    for the single full-window scan.
+    ``read_windows="auto"`` (default): windowed-prefix decode scan with the
+    batch-aware default ladder, chosen PER BUCKET at trace time (fifths at
+    B>=16, thirds below — decode/beam.py ``default_read_windows``) —
+    bit-identical tokens, measured -39%/step at the wide buckets where the
+    per-step cache write loses in-place aliasing and -3.4% at B=4
+    (BASELINE.md round-4/5 rows). Pass None for the single full-window
+    scan, or an explicit ladder for every bucket.
+
+    ``cache_layout="auto"`` (default): per-BUCKET self-cache layout — jit
+    traces one program per bucket shape, so the traced-time batch size
+    picks einsum-native "bhjtd" caches at B>=16 (round-5 on-chip A/B:
+    6.25 -> 5.34 ms/step with the fifths ladder, tokens exact) and "rows"
+    below (rows wins at B=4/8 where DUS aliasing holds). Pass "rows" or
+    "bhjtd" to force one layout for every bucket.
     """
     import jax
 
     from mocov2_whisper_flamingo_tpu.decode.beam import default_read_windows
 
     prefix = [int(t) for t in prefix_ids]
-    if read_windows == "auto":
-        read_windows = default_read_windows(max_len)
-    windows = tuple(read_windows) if read_windows else None
 
     @jax.jit
     def _decode(p, batch):
@@ -388,12 +394,21 @@ def make_av_engine(
 
         audio, audio_mask, video_u8, video_mask, video_len = batch
         video = eval_video_pipeline(video_u8, resize=video_resize)
+        # Static per-trace choices: jit compiles one program per bucket
+        # shape, so the traced batch size picks the bucket's ladder/layout.
+        windows = read_windows
+        if windows == "auto":
+            windows = default_read_windows(max_len, batch=audio.shape[0])
+        windows = tuple(windows) if windows else None
+        layout = cache_layout
+        if layout == "auto":
+            layout = "bhjtd" if audio.shape[0] >= 16 else "rows"
         return net.beam(
             p, (audio, audio_mask, video, video_mask, video_len),
             prefix, beam_size=beam_size, max_len=max_len, eos_id=eos_id,
             logit_rules=logit_rules, cache_quant=cache_quant,
             weight_quant=weight_quant, read_windows=windows,
-            cache_layout=cache_layout).sequences[:, 0]  # top hypothesis/row
+            cache_layout=layout).sequences[:, 0]  # top hypothesis/row
 
     def decode_batch(batch):
         # Async device_put before the jitted call — see make_audio_engine.

@@ -237,6 +237,14 @@ class Trainer:
             # save/restore the quantized tree — keep the knob constant
             # across a run.
             params = self.net.quantize_frozen_params(params)
+        if (self.config["training"].get("frozen_param_dtype") == "bf16"
+                and hasattr(self.net, "cast_frozen_params")):
+            # bf16 STORAGE for the frozen trees (cast at placement; fp32
+            # masters stay in the checkpoint only if set before the first
+            # save — like frozen_weight_quant, keep the knob constant
+            # across a run). Halves the dominant frozen HBM read of the
+            # step with no dequantizing dot (AVNet.cast_frozen_params).
+            params = self.net.cast_frozen_params(params)
         self.param_shardings = param_sharding(self.mesh, params)
         params = jax.tree.map(jax.device_put, params, self.param_shardings)
 

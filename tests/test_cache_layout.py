@@ -126,6 +126,38 @@ def test_decode_step_bhjtd_rejects_rowwise_read(setup):
         dec.decode_step(params, tok, cache, jnp.int32(0))
 
 
+def test_streaming_bhjtd_matches_rows(setup):
+    """StreamingDecoder with the bhjtd chunk cache must reproduce the rows
+    layout token-for-token across chunks — incl. the beam-commit gather at
+    each chunk boundary and a window rollover (the persistent-cache reader
+    the layout plumbing was added for)."""
+    from mocov2_whisper_flamingo_tpu.decode import StreamingDecoder
+
+    dec, params, enc_out = setup
+    rng = np.random.default_rng(7)
+    chunks = [enc_out[:1],
+              jnp.asarray(rng.standard_normal((1, 16, 48)).astype(np.float32)),
+              jnp.asarray(rng.standard_normal((1, 16, 48)).astype(np.float32))]
+
+    def run(layout):
+        sd = StreamingDecoder(dec, params, PREFIX, max_len=24, eos_id=EOS,
+                              max_tokens_per_chunk=8, beam_size=3,
+                              cache_layout=layout)
+        for c in chunks:  # 3 chunks x 8 tokens vs budget 24 -> one rollover
+            sd.process_chunk(c)
+        return sd.collected_tokens()
+
+    assert run("bhjtd") == run("rows")
+
+
+def test_streaming_rejects_unknown_layout(setup):
+    from mocov2_whisper_flamingo_tpu.decode import StreamingDecoder
+
+    dec, params, _ = setup
+    with pytest.raises(ValueError, match="cache_layout"):
+        StreamingDecoder(dec, params, PREFIX, cache_layout="thbd")
+
+
 def test_bhjtd_write_gate_preserves_rows(setup):
     """write_gate=False must leave the bhjtd cache slot (values AND int8
     scales) untouched — streaming's fixed-trip overrun guard."""

@@ -514,15 +514,21 @@ def test_windowed_scan_composes_with_cache_quant(setup):
 
 def test_default_read_windows_shapes():
     """Ladder generator edge cases: ascending, ends at max_len, multiples
-    of 8 below the top, None below the 48-token floor."""
+    of 8 below the top, None below the 48-token floor; batch-aware shape
+    (fifths at wide batches, thirds below — the measured winners)."""
     from mocov2_whisper_flamingo_tpu.decode import default_read_windows
 
-    assert default_read_windows(160) == (32, 64, 96, 128, 160)
-    assert default_read_windows(224) == (48, 88, 136, 176, 224)
+    assert default_read_windows(160) == (48, 96, 160)
+    assert default_read_windows(160, batch=4) == (48, 96, 160)
+    assert default_read_windows(160, batch=16) == (32, 64, 96, 128, 160)
+    assert default_read_windows(224) == (64, 144, 224)
+    assert default_read_windows(224, batch=32) == (48, 88, 136, 176, 224)
     assert default_read_windows(47) is None
+    assert default_read_windows(47, batch=16) is None
     for ml in (48, 53, 100, 448):
-        ladder = default_read_windows(ml)
-        assert ladder is not None and ladder[-1] == ml
-        assert list(ladder) == sorted(set(ladder))
-        assert all(w % 8 == 0 for w in ladder[:-1])
-        assert ladder[0] >= 16
+        for batch in (None, 16):
+            ladder = default_read_windows(ml, batch=batch)
+            assert ladder is not None and ladder[-1] == ml
+            assert list(ladder) == sorted(set(ladder))
+            assert all(w % 8 == 0 for w in ladder[:-1])
+            assert ladder[0] >= 16
