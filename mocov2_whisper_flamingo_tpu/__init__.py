@@ -7,8 +7,8 @@ PyTorch reference ``maihathm/MoCov2-Whisper-Flamingo``:
   babble-noise SNR mixing, and SpecAugment (``ops.mel``, ``ops.augment``).
 - MoCo-v2 ResNet-50 lip-video frontend behind a 3D-conv stem
   (``models.visual_frontend``).
-- Flamingo-style tanh-gated cross-attention fusion as a fused Pallas kernel
-  (``ops.gated_attention``, ``models.fusion``).
+- Flamingo-style tanh-gated cross-attention fusion over the Pallas
+  flash-attention kernel (``models.fusion``, ``ops.flash_attention``).
 - Joint CTC + label-smoothed cross-entropy training with length-bucketed
   batching and SPMD data/tensor parallelism over a ``jax.sharding.Mesh``
   (``training``, ``parallel``).

@@ -66,20 +66,21 @@ class GatedCrossModalFusion:
 
     def __init__(self, d_model: int, n_heads: int, n_layers: int, dropout: float = 0.1,
                  precision: L.Precision = L.FP32, backend: str = "xla",
-                 remat: bool = False, fused_kernel: bool = False):
+                 remat: bool = False):
         self.d_model = d_model
         self.n_heads = n_heads
         self.n_layers = n_layers
         self.dropout_rate = dropout
         self.precision = precision
         self.backend = backend
-        # Retired default (round 4): the fully-fused gated-attention kernel
-        # exactly matches XLA's automatic fusion of this block (2.1 vs
-        # 2.1 ms at B=4 T=400) and has no shard_map wrapper for TP, while
-        # the flash-attention sub-kernel both wins ~25% on the MHA itself
-        # and shards. fused_kernel=True re-selects the monolithic kernel
-        # (kept for long-sequence schedule ownership; see docs/DESIGN.md).
-        self.fused_kernel = fused_kernel
+        # History: rounds 1-3 carried a monolithic fused gated-attention
+        # Pallas kernel here. It was retired in round 4 (bit-exact parity
+        # with this path at 81.8 vs 81.8 ms full-AV encode, max abs diff
+        # 0.0; XLA fuses the block optimally at AVSR shapes and the kernel
+        # had no shard_map wrapper for TP) and deleted in round 5 — the
+        # measurement record lives in docs/DESIGN.md + BASELINE.md. The MHA
+        # below still runs the flash-attention Pallas kernel (~25% win),
+        # which DOES shard via shard_map.
         # Rematerialize each gated block on the backward pass (trade FLOPs
         # for activation memory — jax.checkpoint; the AMP analog knob is
         # config precision.rematerialize).
@@ -118,37 +119,21 @@ class GatedCrossModalFusion:
             if sub_rng is not None:
                 attn_rng, ff_rng = jax.random.split(sub_rng)
             attn_dropout = train and attn_rng is not None and self.dropout_rate > 0
-            # The fused Pallas kernel cannot drop out attention probs (they
-            # are never materialized); train-mode fusion falls back to XLA.
-            if (self.backend == "pallas" and self.fused_kernel
-                    and not attn_dropout):
-                # Fully-fused gated attention: LN -> q-proj -> MHA ->
-                # out-proj -> tanh-gate -> residual in ONE Pallas kernel
-                # (the K/V projections of the x-independent video stream are
-                # computed here, once per layer).
-                from mocov2_whisper_flamingo_tpu.ops.gated_attention import (
-                    gated_cross_attention)
-
-                k_full = L.linear(lp["attn"]["k"], xa, prec)
-                v_full = L.linear(lp["attn"]["v"], xa, prec)
-                x = gated_cross_attention(
-                    x, k_full, v_full, lp["attn"], lp["attn_ln"],
-                    lp["attn_gate"], kv_valid=video_valid, n_heads=h)
-            else:
-                q_in = L.layer_norm(lp["attn_ln"], x)
-                b, tq, _ = q_in.shape
-                tk = xa.shape[1]
-                q = L.linear(lp["attn"]["q"], q_in, prec).reshape(b, tq, h, dh)
-                k = L.linear(lp["attn"]["k"], xa, prec).reshape(b, tk, h, dh)
-                v = L.linear(lp["attn"]["v"], xa, prec).reshape(b, tk, h, dh)
-                attn = multi_head_attention(
-                    q, k, v, kv_valid=video_valid,
-                    backend="xla" if attn_dropout else self.backend,
-                    dropout_rate=self.dropout_rate if attn_dropout else 0.0,
-                    dropout_rng=attn_rng if attn_dropout else None)
-                attn = L.linear(lp["attn"]["out"], attn.reshape(b, tq, self.d_model), prec)
-                attn_gate = jnp.tanh(lp["attn_gate"]).astype(attn.dtype)
-                x = x + attn * attn_gate
+            q_in = L.layer_norm(lp["attn_ln"], x)
+            b, tq, _ = q_in.shape
+            tk = xa.shape[1]
+            q = L.linear(lp["attn"]["q"], q_in, prec).reshape(b, tq, h, dh)
+            k = L.linear(lp["attn"]["k"], xa, prec).reshape(b, tk, h, dh)
+            v = L.linear(lp["attn"]["v"], xa, prec).reshape(b, tk, h, dh)
+            # Attention-prob dropout needs materialized probs: XLA path.
+            attn = multi_head_attention(
+                q, k, v, kv_valid=video_valid,
+                backend="xla" if attn_dropout else self.backend,
+                dropout_rate=self.dropout_rate if attn_dropout else 0.0,
+                dropout_rng=attn_rng if attn_dropout else None)
+            attn = L.linear(lp["attn"]["out"], attn.reshape(b, tq, self.d_model), prec)
+            attn_gate = jnp.tanh(lp["attn_gate"]).astype(attn.dtype)
+            x = x + attn * attn_gate
 
             ff_in = L.layer_norm(lp["ff_ln"], x)
             ff = L.linear(lp["ff2"], L.gelu(L.linear(lp["ff1"], ff_in, prec)), prec)

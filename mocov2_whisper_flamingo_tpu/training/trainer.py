@@ -159,12 +159,6 @@ class Trainer:
             logger.info("model axis > 1: routing flash attention through "
                         "shard_map (batch->data, heads->model)")
             set_attention_mesh(self.mesh)
-            if getattr(getattr(net, "fusion", None), "fused_kernel", False):
-                # Only the monolithic gated-attention kernel (opt-in,
-                # fused_kernel=True) lacks a shard_map wrapper — fence just
-                # it; the default fusion path uses the shard_map'd flash
-                # attention and stays on Pallas under TP.
-                net.fusion.backend = "xla"
         self.total_steps = total_steps
         self.log_every = config["output"].get("log_every_n_steps", 100)
         self.log_gates = bool(config["output"].get("log_gates", True))

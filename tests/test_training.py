@@ -286,21 +286,6 @@ def test_tp_mesh_routes_pallas_through_shard_map(tmp_path):
     finally:
         set_attention_mesh(None)
 
-    # opt-in monolithic gated kernel has no shard_map wrapper -> fenced
-    net_fk = AVNet("audiovisual", None, 96, MODELARGS, VOCAB, backend="pallas")
-    net_fk.fusion.fused_kernel = True
-    try:
-        cfg_fk = get_config({
-            "output.checkpoint_dir": str(tmp_path / "ckpt_fk"),
-            "output.log_dir": str(tmp_path / "logs_fk"),
-            "mesh.data": 4,
-            "mesh.model": 2,
-        })
-        Trainer(cfg_fk, net_fk, ByteTokenizer())
-        assert net_fk.fusion.backend == "xla"
-    finally:
-        set_attention_mesh(None)
-
     cfg_dp = get_config({
         "output.checkpoint_dir": str(tmp_path / "ckpt2"),
         "output.log_dir": str(tmp_path / "logs2"),
