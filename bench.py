@@ -492,6 +492,84 @@ def bench_serving(n_requests: int = 64, buckets=(1, 4, 8, 16),
     }
 
 
+def bench_continuous(n_requests: int = 64, capacity: int = 16) -> dict:
+    """Continuous-batching engine (opt-in via --serving-continuous):
+    closed-loop load through the segment-program engine
+    (serving/continuous.py) over the flagship full-AV beam decode.
+
+    Reports sustained throughput (device-resident payloads), admission
+    latency (enqueue -> row admission: the metric continuous batching
+    exists to bound — a request no longer waits a full bucket decode for a
+    free row), per-request total latency, and a mid-load probe (one
+    request submitted while the engine is saturated)."""
+    import jax
+
+    from mocov2_whisper_flamingo_tpu.serving import make_continuous_av_engine
+
+    net, params = _build("whisper-small")
+    rng = np.random.default_rng(0)
+    payload = (
+        np.asarray(rng.standard_normal((3000, 80)), np.float32),
+        np.ones(3000, bool),
+        rng.integers(0, 255, (T_VIDEO, 3, 88, 88)).astype(np.uint8),
+        np.ones(T_VIDEO, bool),
+        np.int32(T_VIDEO),
+    )
+    dev_payloads = [jax.device_put(payload) for _ in range(4)]
+    jax_block(dev_payloads)
+    pct = lambda xs, q: sorted(xs)[min(len(xs) - 1, int(q * len(xs)))]
+    eng = make_continuous_av_engine(
+        net, params, PREFIX, beam_size=BEAM, max_len=MAX_TOKENS, eos_id=EOS,
+        capacity=capacity, seg_steps=32)
+    try:
+        eng.warmup(dev_payloads[0])
+        t0 = time.perf_counter()
+        futs = [eng.submit(*dev_payloads[i % len(dev_payloads)])
+                for i in range(n_requests)]
+        # Mid-load probe: one request into the saturated engine (waits in
+        # the FIFO behind the closed-loop queue — a queue-depth number).
+        probe = None
+        results = []
+        for i, f in enumerate(futs):
+            results.append(f.result(timeout=1200))
+            if probe is None and i == n_requests // 2:
+                probe = eng.submit(*dev_payloads[0])
+        dt = time.perf_counter() - t0
+        probe_res = probe.result(timeout=1200) if probe else None
+        # Mid-DECODE admission probe (the number continuous batching exists
+        # for): half the rows are mid-flight, rows ARE free — a new request
+        # must be admitted at the next segment boundary (~one segment),
+        # not after a full bucket decode (the whole-utterance engine's
+        # B=16 floor, p50 1174 ms in BASELINE.md round 4).
+        warm_futs = [eng.submit(*dev_payloads[i % len(dev_payloads)])
+                     for i in range(capacity // 2)]
+        time.sleep(0.4)  # let them admit + decode a segment or two
+        mid = eng.submit(*dev_payloads[0])
+        mid_res = mid.result(timeout=1200)
+        for f in warm_futs:
+            f.result(timeout=1200)
+        stats = eng.stats()
+    finally:
+        eng.close()
+    admit_ms = [r.queue_ms for r in results]
+    total_ms = [r.total_ms for r in results]
+    out = {
+        "continuous_rtf": n_requests * SECONDS_PER_CLIP / dt,
+        "admission_p50_ms": pct(admit_ms, 0.50),
+        "admission_p99_ms": pct(admit_ms, 0.99),
+        "total_p50_ms": pct(total_ms, 0.50),
+        "total_p99_ms": pct(total_ms, 0.99),
+        "segments_run": stats["segments_run"],
+        "capacity": capacity,
+    }
+    if probe_res is not None:
+        out["midload_admission_ms"] = probe_res.queue_ms
+        out["midload_total_ms"] = probe_res.total_ms
+    out["middecode_admission_ms"] = mid_res.queue_ms
+    out["middecode_total_ms"] = mid_res.total_ms
+    return out
+
+
 def main() -> None:
     parser = argparse.ArgumentParser()
     parser.add_argument("--sizes", default="small",
@@ -520,6 +598,10 @@ def main() -> None:
     parser.add_argument("--serving", action="store_true",
                         help="bench the online serving engine (closed-loop "
                              "load, throughput + latency percentiles)")
+    parser.add_argument("--serving-continuous", action="store_true",
+                        help="bench the continuous-batching engine "
+                             "(segment-bounded admission, early-exit row "
+                             "reuse)")
     parser.add_argument("--b16-quant", default=None,
                         choices=(None, "int8", "int8-cross"),
                         help="KV-cache quantization for the B=16 serving leg")
@@ -563,6 +645,17 @@ def main() -> None:
 
             _os._exit(3)  # the hung init thread cannot be joined
 
+    if args.serving_continuous:
+        r = bench_continuous()
+        print(json.dumps({
+            "metric": "continuous-batching sustained throughput "
+                      "(full-AV beam=5, segment-bounded admission)",
+            "value": round(r["continuous_rtf"], 2),
+            "unit": "x realtime",
+            **{k: (round(v, 1) if isinstance(v, float) else v)
+               for k, v in r.items() if k != "continuous_rtf"},
+        }))
+        return
     if args.serving:
         r = bench_serving()
         print(json.dumps({

@@ -161,7 +161,7 @@ def _native_cache_write(cache: dict, k, v, k_s, v_s, cache_index,
 
 
 def _ancestry_attention(q, k, v, ancestry, cache_index,
-                        k_scale=None, v_scale=None):
+                        k_scale=None, v_scale=None, kv_valid=None):
     """Single-query self-attention over an APPEND-ONLY beam cache.
 
     Beam search normally reorders the KV cache every step so physical row n
@@ -191,7 +191,12 @@ def _ancestry_attention(q, k, v, ancestry, cache_index,
     ``k_scale``/``v_scale`` ([B*K, L, H] rows / [B, H, K, L] bhjtd):
     present when the cache is int8 (``init_cache(quant="int8")``) — the
     HBM reads stay int8 and the per-(position, head) scales fold into the
-    score/probability algebra. Returns [B*K, 1, H, Dh].
+    score/probability algebra. ``kv_valid`` ([B, L] bool, optional):
+    per-EXAMPLE key-position validity replacing the shared
+    ``positions <= cache_index`` mask — the continuous-batching segment
+    program's rows sit at different logical phases over a shared physical
+    cache, so each row masks its own live stripes
+    (serving/continuous.py). Returns [B*K, 1, H, Dh].
     """
     bk, _, h, dh = q.shape
     b, kk, _, l_ = ancestry.shape
@@ -216,8 +221,9 @@ def _ancestry_attention(q, k, v, ancestry, cache_index,
             ks = k_scale.reshape(b, kk, l_, h).transpose(0, 1, 3, 2)
             s_all = s_all * ks[:, None]
     s = jnp.einsum("bnjht,bnjt->bnht", s_all, anc) * (dh ** -0.5)
-    valid = jnp.arange(l_) <= cache_index
-    s = jnp.where(valid[None, None, None, :], s, -1e30)
+    if kv_valid is None:
+        kv_valid = jnp.broadcast_to(jnp.arange(l_) <= cache_index, (b, l_))
+    s = jnp.where(kv_valid[:, None, None, :], s, -1e30)
     p = jax.nn.softmax(s, axis=-1)
     w = p[:, :, None] * anc[:, :, :, None, :]  # [B, N, J, H, T]
     if v_scale is not None:
@@ -245,6 +251,7 @@ def attention_block(
     backend: str = "xla",
     ancestry: jnp.ndarray | None = None,
     write_gate: jnp.ndarray | None = None,
+    self_kv_valid: jnp.ndarray | None = None,
 ) -> tuple[jnp.ndarray, dict | None]:
     """Multi-head attention with optional KV cache.
 
@@ -261,6 +268,10 @@ def attention_block(
     while the ancestry tensor still points at pre-reorder rows (wrong
     beam's K/V committed). Costs one [B, 1, H, Dh] slice per layer per
     step; None (the default) compiles to the plain write.
+
+    ``self_kv_valid`` ([B, L] bool, ancestry path only): per-example key
+    validity overriding the shared ``<= cache_index`` mask (continuous
+    batching — see ``_ancestry_attention``).
     """
     src = x if kv_source is None else kv_source
     fused_self = "qkv" in params and kv_source is None
@@ -317,7 +328,8 @@ def attention_block(
                 out = _ancestry_attention(
                     q, new_cache["k"], new_cache["v"], ancestry, cache_index,
                     k_scale=new_cache.get("k_scale"),
-                    v_scale=new_cache.get("v_scale"))
+                    v_scale=new_cache.get("v_scale"),
+                    kv_valid=self_kv_valid)
                 return (L.linear(params["out"], _merge_heads(out), precision),
                         new_cache)
             if write_gate is not None:
@@ -345,7 +357,8 @@ def attention_block(
                 new_cache["v_scale"] = v_scale
             if ancestry is not None:
                 out = _ancestry_attention(q, k, v, ancestry, cache_index,
-                                          k_scale=k_scale, v_scale=v_scale)
+                                          k_scale=k_scale, v_scale=v_scale,
+                                          kv_valid=self_kv_valid)
                 return (L.linear(params["out"], _merge_heads(out), precision),
                         new_cache)
             if quant:  # row-aligned path: dequantize at the consumer
@@ -831,15 +844,26 @@ class WhisperDecoder:
         encoder_valid: jnp.ndarray | None = None,
         ancestry: jnp.ndarray | None = None,
         write_gate: jnp.ndarray | None = None,
+        positions: jnp.ndarray | None = None,
+        self_kv_valid: jnp.ndarray | None = None,
     ) -> tuple[jnp.ndarray, list[dict]]:
         """One decode step. tokens: [B, 1] current token ids; index: scalar
         int32 position. ``ancestry`` [B, K, K, L]: append-only beam-cache
         attention (see ``_ancestry_attention``); ``write_gate``: optional
         scalar bool — False preserves the cache rows at ``index`` (see
-        ``attention_block``). Returns (logits [B, V], updated cache)."""
+        ``attention_block``). ``positions`` ([B] i32, optional): per-row
+        LOGICAL positions for the learned PE when they differ from the
+        physical cache write ``index`` — the continuous-batching segment
+        program phases rows over a shared physical cache
+        (serving/continuous.py); ``self_kv_valid`` rides along to the
+        ancestry attention. Returns (logits [B, V], updated cache)."""
         cfg, prec = self.config, self.precision
         x = L.embed(params["embed_tokens"], tokens)
-        x = x + jax.lax.dynamic_slice_in_dim(params["pos_embed"], index, 1, axis=0)
+        if positions is None:
+            x = x + jax.lax.dynamic_slice_in_dim(params["pos_embed"], index, 1,
+                                                 axis=0)
+        else:
+            x = x + jnp.take(params["pos_embed"], positions, axis=0)[:, None]
         x = prec.cast(x)
         new_caches = []
         for lp, layer_cache in zip(params["layers"], cache):
@@ -847,7 +871,8 @@ class WhisperDecoder:
                 lp["self_attn"], L.layer_norm(lp["self_attn_ln"], x),
                 n_heads=cfg.n_heads, cache=layer_cache["self"], cache_index=index,
                 precision=prec, backend="xla",  # single-query step: XLA path
-                ancestry=ancestry, write_gate=write_gate)
+                ancestry=ancestry, write_gate=write_gate,
+                self_kv_valid=self_kv_valid)
             x = x + h
             h = self._cross_step(lp, x, layer_cache["cross"], encoder_valid, prec)
             x = x + h

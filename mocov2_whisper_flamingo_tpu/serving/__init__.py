@@ -6,5 +6,7 @@ from mocov2_whisper_flamingo_tpu.serving.batcher import (  # noqa: F401
 from mocov2_whisper_flamingo_tpu.serving.engine import (  # noqa: F401
     ServeResult, ServingEngine, canonical_wav, make_audio_engine,
     make_av_engine, pad_rows, trim_at_eos)
+from mocov2_whisper_flamingo_tpu.serving.continuous import (  # noqa: F401
+    ContinuousEngine, make_continuous_av_engine)
 from mocov2_whisper_flamingo_tpu.serving.server import (  # noqa: F401
     TranscriptionServer)
