@@ -39,7 +39,25 @@ WORDS = ("xin chao cac ban toi ten la nam den tu ha noi hom nay troi dep "
          "chung ta cung hoc tieng viet nhe cam on rat nhieu").split()
 
 
-def make_dataset(root: str, n_clips: int, seed: int = 0) -> None:
+def _write_mp4(path: str, frames: np.ndarray) -> None:
+    """Encode frames [T, H, W, 3] uint8 as an mp4 (cv2 in-process, mp4v —
+    the reference's on-disk video format, reference: av_dataset.py:57-73;
+    no ffmpeg CLI exists in this image, so cv2's bundled libavcodec both
+    writes the fixture and decodes it in the loader)."""
+    import cv2
+
+    h, w = frames.shape[1:3]
+    writer = cv2.VideoWriter(path, cv2.VideoWriter_fourcc(*"mp4v"), 25.0,
+                             (w, h))
+    if not writer.isOpened():
+        raise RuntimeError(f"cv2 VideoWriter could not open {path}")
+    for f in frames:
+        writer.write(f)
+    writer.release()
+
+
+def make_dataset(root: str, n_clips: int, seed: int = 0,
+                 video_format: str = "npy") -> None:
     rng = np.random.default_rng(seed)
     for split, n in (("train", n_clips), ("val", 8)):
         vdir = os.path.join(root, split, f"{split}_video_seg12s", "spk")
@@ -49,7 +67,10 @@ def make_dataset(root: str, n_clips: int, seed: int = 0) -> None:
         for i in range(n):
             t_frames = int(rng.integers(150, 401))
             frames = rng.integers(0, 255, (t_frames, 64, 64, 3), dtype=np.uint8)
-            np.save(os.path.join(vdir, f"clip{i}.npy"), frames)
+            if video_format == "mp4":
+                _write_mp4(os.path.join(vdir, f"clip{i}.mp4"), frames)
+            else:
+                np.save(os.path.join(vdir, f"clip{i}.npy"), frames)
             n_samp = int(t_frames / 25.0 * 16000)
             tt = np.arange(n_samp) / 16000
             x = 0.3 * np.sin(2 * np.pi * (200 + 20 * (i % 17)) * tt)
@@ -88,16 +109,24 @@ def main() -> None:
                              "no device work) — isolates the host-side "
                              "bound from the step time")
     parser.add_argument("--out", default=None, help="append the JSON result here")
+    parser.add_argument("--video-format", default="npy", choices=("npy", "mp4"),
+                        help="on-disk video format for the generated set: "
+                             "npy (pre-decoded fast path) or mp4 (the "
+                             "reference's native format — measures real "
+                             "in-process cv2 decode in the loader)")
     args = parser.parse_args()
     if args.on_device_mel and not args.on_device_augment:
         parser.error("--on-device-mel requires --on-device-augment")
 
-    marker = os.path.join(args.data_root, f".generated_{args.n_clips}")
+    marker = os.path.join(args.data_root,
+                          f".generated_{args.n_clips}_{args.video_format}")
     if not os.path.exists(marker):
         t0 = time.time()
-        make_dataset(args.data_root, args.n_clips)
+        make_dataset(args.data_root, args.n_clips,
+                     video_format=args.video_format)
         open(marker, "w").close()
-        print(f"[data] generated {args.n_clips} clips in {time.time()-t0:.0f}s")
+        print(f"[data] generated {args.n_clips} {args.video_format} clips "
+              f"in {time.time()-t0:.0f}s")
 
     import jax
 
