@@ -602,6 +602,11 @@ def main() -> None:
                         help="bench the continuous-batching engine "
                              "(segment-bounded admission, early-exit row "
                              "reuse)")
+    parser.add_argument("--wide-buckets", action="store_true",
+                        help="bench the north-star serving composition "
+                             "(batch-aware windowed ladder + w8a16 weights "
+                             "+ batch-appropriate cache layout) at "
+                             "whisper-medium B=8 and large-v2 B=4/8")
     parser.add_argument("--b16-quant", default=None,
                         choices=(None, "int8", "int8-cross"),
                         help="KV-cache quantization for the B=16 serving leg")
@@ -695,6 +700,38 @@ def main() -> None:
                if "train_ms_per_step_frozen_bf16" in r else {}),
         }))
         return
+    if args.wide_buckets:
+        # North-star serving composition (round-4 verdict, weak #6): the
+        # realistic wide-bucket configuration at medium/large-v2 — windows
+        # + w8a16 weight-only decode + the batch-appropriate cache layout
+        # (rows below B=16 per the round-5 layout A/B). One process,
+        # sequential sizes; per-leg rtf + ms/step recorded for BASELINE.
+        from mocov2_whisper_flamingo_tpu.decode.beam import (
+            default_read_windows)
+
+        legs = []
+        for size, wb in (("medium", 8), ("large-v2", 4), ("large-v2", 8)):
+            r = bench_size(
+                f"whisper-{size}", b=wb, iters=3, weight_quant="int8",
+                read_windows=default_read_windows(MAX_TOKENS, batch=wb),
+                cache_layout="bhjtd" if wb >= 16 else "rows")
+            leg = {"size": size, "batch": wb,
+                   "rtf": round(r["rtf"], 1),
+                   "decode_ms_per_step": round(r["decode_ms_per_step"], 3),
+                   "encode_ms": round(r["encode_ms"], 1)}
+            legs.append(leg)
+            print(f"[bench] wide-bucket {size} B={wb} (w8a16+windows): "
+                  f"rtf={leg['rtf']}x decode={leg['decode_ms_per_step']}"
+                  f"ms/step encode={leg['encode_ms']}ms", file=sys.stderr)
+        print(json.dumps({
+            "metric": "wide-bucket north-star serving composition "
+                      "(full-AV beam=5, w8a16 + windowed ladder)",
+            "value": legs[-1]["rtf"],
+            "unit": "x realtime (large-v2 B=8)",
+            "legs": legs,
+        }))
+        return
+
     sizes = [s.strip() for s in args.sizes.split(",") if s.strip()]
 
     from mocov2_whisper_flamingo_tpu.decode.beam import default_read_windows
