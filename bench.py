@@ -709,6 +709,8 @@ def main() -> None:
         from mocov2_whisper_flamingo_tpu.decode.beam import (
             default_read_windows)
 
+        import gc
+
         legs = []
         for size, wb in (("medium", 8), ("large-v2", 4), ("large-v2", 8)):
             r = bench_size(
@@ -720,6 +722,16 @@ def main() -> None:
                    "decode_ms_per_step": round(r["decode_ms_per_step"], 3),
                    "encode_ms": round(r["encode_ms"], 1)}
             legs.append(leg)
+            # Drop the leg's params/net (large-v2 fp32 masters are ~6 GB of
+            # HBM) and its compiled programs before the next leg builds its
+            # own — keeping the previous result dict alive OOM'd large-v2
+            # B=8 on the 16 GB chip.
+            r.clear()
+            del r
+            import jax as _jax
+
+            _jax.clear_caches()
+            gc.collect()
             print(f"[bench] wide-bucket {size} B={wb} (w8a16+windows): "
                   f"rtf={leg['rtf']}x decode={leg['decode_ms_per_step']}"
                   f"ms/step encode={leg['encode_ms']}ms", file=sys.stderr)

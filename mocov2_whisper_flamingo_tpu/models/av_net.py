@@ -227,7 +227,10 @@ class AVNet:
 
         # Align: truncate both streams to the shorter (static) length
         # (reference: av_net.py:92-96 — audio 1500 -> video length).
-        min_len = min(audio_feat.shape[1], video_feat.shape[1])
+        # jax.core.min_dim instead of Python min: it stays a symbolic
+        # expression under a polymorphic video-time axis (export_model
+        # symbolic_time), where `<` between dims is undecidable.
+        min_len = jax.core.min_dim(audio_feat.shape[1], video_feat.shape[1])
         audio_feat = audio_feat[:, :min_len]
         video_feat = video_feat[:, :min_len]
         video_len = jnp.minimum(video_len, min_len)

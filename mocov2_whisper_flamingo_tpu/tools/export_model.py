@@ -8,9 +8,12 @@ TPU-native serving format is ``jax.export`` (StableHLO):
 
 - ``export_forward`` serializes the jitted AVNet forward with a SYMBOLIC
   batch axis (``jax.export.symbolic_shape``) — one artifact serves any
-  batch size, the analog of the reference's dynamic batch axis. Time axes
-  stay static: the reference caps them anyway (mel is always 3000 frames,
-  video is bucketed), and static time is what keeps XLA tiling the MXU.
+  batch size — and, with ``symbolic_time=True``, a symbolic VIDEO time
+  axis too: the full reference dynamic-axes contract {batch, time}. The
+  mel axis stays static 3000 by the whisper front-end contract (30 s
+  pad/crop before the model, reference and here alike); static shapes
+  remain the default because they are what keeps XLA tiling the MXU —
+  bucketed serving should prefer per-bucket concrete exports.
 - ``export_beam`` serializes the flagship serving program — the jitted
   beam-decode step (encode -> fused decode scan) — at one (batch, beam,
   max_len) bucket, matching how the serving engine actually compiles
@@ -21,8 +24,11 @@ TPU-native serving format is ``jax.export`` (StableHLO):
   axis is really symbolic; the beam artifact must reproduce the live
   token ids bit-exactly.
 
-Artifacts are platform-specific (exported-on == runs-on); export on the
-serving platform.
+Artifacts are multi-platform by default (lowered for cpu AND tpu —
+``platforms=``), and ``verify_export_fresh_process`` proves each blob
+self-contained by running it in a fresh interpreter on the CPU backend:
+the full analog of the reference validating its ONNX blob under
+onnxruntime, a second runtime the exporting process never touched.
 """
 
 from __future__ import annotations
@@ -36,18 +42,34 @@ import numpy as np
 logger = logging.getLogger("export_model")
 
 
-def _batch_spec_symbolic(example_batch):
+def _batch_spec_symbolic(example_batch, symbolic_time: bool = False):
     """ShapeDtypeStructs for the AVNet input tuple with a shared symbolic
     leading axis ``b`` (audio [b,T,80], masks [b,T], video [b,Tv,3,H,W],
-    lengths [b])."""
+    lengths [b]). ``symbolic_time=True`` additionally makes the VIDEO time
+    axis symbolic (``tv`` on video + video_mask) — the full analog of the
+    reference's ``dynamic_axes={0: "batch", 1: "time"}`` for the variable
+    stream. The scope carries ``tv <= 1500``: the stream-align step
+    truncates to min(audio 1500, video Tv), and the constraint is what
+    lets the shape solver resolve that min (``jax.core.min_dim`` in
+    models/av_net.py) — semantically free, the data pipeline caps video
+    at 400 frames (reference: av_dataset.py len/7.5 cap). The mel axis
+    stays static 3000: whisper's front-end contract pads/crops to 30 s
+    before the model, in the reference and here alike."""
     import jax
     from jax import export as jexport
 
-    scope = jexport.SymbolicScope()
+    scope = jexport.SymbolicScope(["tv <= 1500"] if symbolic_time else ())
     (b,) = jexport.symbolic_shape("b", scope=scope)
-    return tuple(
-        jax.ShapeDtypeStruct((b,) + tuple(np.shape(x)[1:]), x.dtype)
-        for x in example_batch)
+    tv = None
+    if symbolic_time:
+        (tv,) = jexport.symbolic_shape("tv", scope=scope)
+    specs = []
+    for i, x in enumerate(example_batch):
+        shape = (b,) + tuple(np.shape(x)[1:])
+        if tv is not None and i in (2, 3):  # video, video_mask
+            shape = (b, tv) + tuple(np.shape(x)[2:])
+        specs.append(jax.ShapeDtypeStruct(shape, x.dtype))
+    return tuple(specs)
 
 
 def _xla_backend(net):
@@ -75,11 +97,14 @@ def _xla_backend(net):
 
 def export_forward(net, params, example_batch, path: str,
                    symbolic_batch: bool = True,
+                   symbolic_time: bool = False,
                    platforms=("cpu", "tpu")) -> bytes:
     """Serialize the jitted AVNet forward to StableHLO bytes (written to
     ``path``). ``symbolic_batch=True`` exports with a symbolic batch axis so
     the artifact accepts any batch size (reference: export_model.py:31-44
-    dynamic_axes). ``platforms``: lowering platforms baked into the
+    dynamic_axes); ``symbolic_time=True`` also frees the video time axis
+    (``_batch_spec_symbolic``) — together the full reference dynamic-axes
+    contract {batch, time}. ``platforms``: lowering platforms baked into the
     artifact — the default ("cpu", "tpu") makes it PORTABLE (runs on either
     backend, like the reference's ONNX blob ran under onnxruntime), closing
     the round-4 "exported-on == runs-on" caveat; pass None to lower for the
@@ -87,9 +112,11 @@ def export_forward(net, params, example_batch, path: str,
     import jax
     from jax import export as jexport
 
+    if symbolic_time and not symbolic_batch:
+        raise ValueError("symbolic_time requires symbolic_batch")
     fn = lambda p, b: net.forward(p, b)  # noqa: E731
-    batch_in = _batch_spec_symbolic(example_batch) if symbolic_batch \
-        else example_batch
+    batch_in = _batch_spec_symbolic(example_batch, symbolic_time) \
+        if symbolic_batch else example_batch
     with _xla_backend(net):
         exported = jexport.export(
             jax.jit(fn),

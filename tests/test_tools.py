@@ -125,6 +125,30 @@ def test_export_beam_decode_program(tmp_path, rng):
                          reference_out=(live.sequences, live.scores))
 
 
+def test_export_symbolic_time_axis(net_params, tmp_path, rng):
+    """Full reference dynamic-axes contract (reference: export_model.py:31-44
+    exported batch AND time symbolic): one artifact serves unseen batch
+    sizes and unseen — including odd — video lengths."""
+    from jax import export as jexport
+
+    from mocov2_whisper_flamingo_tpu.tools.export_model import export_forward
+
+    net, params = net_params
+    export_forward(net, params, _av_batch(rng, 1, t_video=8),
+                   str(tmp_path / "m.hlo"), symbolic_batch=True,
+                   symbolic_time=True)
+    with open(tmp_path / "m.hlo", "rb") as f:
+        reloaded = jexport.deserialize(f.read())
+    for b, t in ((2, 12), (1, 7)):
+        batch = _av_batch(rng, b, t_video=t)
+        got = reloaded.call(params, batch)
+        got = got[0] if isinstance(got, tuple) else got
+        live = net.forward(params, batch)
+        live = live[0] if isinstance(live, tuple) else live
+        assert np.asarray(got).shape == np.asarray(live).shape
+        assert np.allclose(np.asarray(got), np.asarray(live), atol=1e-4)
+
+
 def test_export_verifies_in_fresh_process(net_params, tmp_path, rng):
     """Second-runtime contract (round-4 verdict, missing #1; reference:
     export_model.py:49-70 verified its ONNX blob under onnxruntime): the
