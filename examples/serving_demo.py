@@ -93,7 +93,7 @@ def main() -> None:
         for i, f in enumerate(futs):
             r = f.result(timeout=600)
             print(f"    req{i}: bucket={r.bucket} queue={r.queue_ms:.0f}ms "
-                  f"total={r.total_ms:.0f}ms tokens={list(r.tokens[:8])}...")
+                  f"total={r.total_ms:.0f}ms tokens={[int(t) for t in r.tokens[:8]]}...")
     finally:
         eng.close()
 
@@ -116,7 +116,7 @@ def main() -> None:
                   f"decode={r.decode_ms:.0f}ms total={r.total_ms:.0f}ms")
         r = late.result(timeout=600)
         print(f"    late: queue={r.queue_ms:.0f}ms (admitted mid-decode) "
-              f"total={r.total_ms:.0f}ms tokens={list(r.tokens[:8])}...")
+              f"total={r.total_ms:.0f}ms tokens={[int(t) for t in r.tokens[:8]]}...")
         print(f"    engine stats: {ceng.stats()}")
     finally:
         ceng.close()
