@@ -134,6 +134,7 @@ def beam_search(
     cache_quant: str | None = None,
     read_windows=None,
     cache_layout: str = "rows",
+    _prefix_in_window: bool = False,
 ) -> BeamResult:
     """Batched beam search; returns the K best finished hypotheses per
     example, best first. EOS-terminated hypotheses include their EOS; the
@@ -227,23 +228,25 @@ def beam_search(
     # The bhjtd layout is readable only through the ancestry path; identity
     # ancestry IS row-aligned attention (each row reads its own slots), so
     # passing it here is exact. The rows layout keeps the cheaper masked
-    # single-row attention. (Cost note: with bhjtd each prefix step runs
-    # full ancestry attention over the max_len-sized cache — windowing
-    # starts after the prefix scan. n_prefix is ~4, so this hasn't
-    # measured; if it ever shows up at wide buckets, slice the cache and
-    # ancestry to the first read_windows rung for the prefix scan.)
-    prefix_anc = anc if cache_layout != "rows" else None
+    # single-row attention. (Cost note: prefix steps attend the cache view
+    # they are given — the full cache by default; n_prefix is ~4 so the
+    # max_len-regime prefix cost is ~0.09 ms/step amortized at B=16, and
+    # the rung-sliced alternative measured WORSE — see the
+    # ``_prefix_in_window`` note in the windowed branch below.)
+    def run_prefix(cache_view, anc_view):
+        p_anc = anc_view if cache_layout != "rows" else None
 
-    def prefix_step(carry, i):
-        cache = carry
-        cur = jnp.broadcast_to(prefix[i], (b * k, 1)).astype(jnp.int32)
-        _, cache = decoder.decode_step(params, cur, cache, i,
-                                       encoder_valid=enc_valid,
-                                       ancestry=prefix_anc)
-        return cache, None
+        def prefix_step(carry, i):
+            cur = jnp.broadcast_to(prefix[i], (b * k, 1)).astype(jnp.int32)
+            _, carry = decoder.decode_step(params, cur, carry, i,
+                                           encoder_valid=enc_valid,
+                                           ancestry=p_anc)
+            return carry, None
 
-    if n_prefix > 1:
-        cache, _ = jax.lax.scan(prefix_step, cache, jnp.arange(n_prefix - 1))
+        if n_prefix > 1:
+            cache_view, _ = jax.lax.scan(prefix_step, cache_view,
+                                         jnp.arange(n_prefix - 1))
+        return cache_view
 
     def body(state, _):
         (i, run_tokens, run_scores, pool_tokens, pool_scores, heur_ok,
@@ -331,6 +334,7 @@ def beam_search(
                 heur_ok, cache, anc), None
 
     if read_windows is None:
+        cache = run_prefix(cache, anc)
         state = (jnp.int32(n_prefix - 1), run_tokens, run_scores, pool_tokens,
                  pool_scores, heur_ok, cache, anc)
         state, _ = jax.lax.scan(body, state, None, length=max_len - n_prefix)
@@ -367,8 +371,21 @@ def beam_search(
                              for kk, vv in layer["self"].items()})
             return win, tail, anc[..., :w], anc[..., w:]
 
+        if not _prefix_in_window:
+            cache = run_prefix(cache, anc)
         cache_win, cache_tail, anc_win, anc_tail = window_self(
             cache, anc, windows[0])
+        # ``_prefix_in_window=True`` teacher-forces the prefix on the
+        # first-rung slice instead (exact: the rung filter above guarantees
+        # every prefix position lives inside windows[0], and positions past
+        # the write head contribute zero either way). Measured a NEGATIVE
+        # on chip and left off: B=16 bhjtd fifths 5.34 -> 5.79 ms/step
+        # (+8%, tokens exact, tools/prefix_window_ab.py) — the expected
+        # saving was only ~0.09 ms/step (3 prefix steps leave the
+        # max_len regime), and pre-slicing the cache before the prefix
+        # writes costs the first segment its DUS aliasing, which dwarfs it.
+        if _prefix_in_window:
+            cache_win = run_prefix(cache_win, anc_win)
         i_cur = n_prefix - 1
         state = (jnp.int32(i_cur), run_tokens, run_scores, pool_tokens,
                  pool_scores, heur_ok, cache_win, anc_win)

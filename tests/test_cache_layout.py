@@ -81,6 +81,20 @@ def test_bhjtd_composes_with_windows(setup):
     np.testing.assert_allclose(sc_n, sc_r, atol=1e-5)
 
 
+@pytest.mark.parametrize("layout", ["rows", "bhjtd"])
+def test_prefix_in_window_matches_full_cache_prefix(setup, layout):
+    """The ``_prefix_in_window`` A/B knob (teacher-force the prefix on the
+    first-rung cache slice — measured slower on chip, default off) must be
+    exact in both layouts: rungs are filtered to hold the whole prefix, and
+    positions past the write head contribute zero either way."""
+    dec, params, enc_out = setup
+    kw = dict(cache_layout=layout, read_windows=(8, 16, 24))
+    seq_w, sc_w = _run(dec, params, enc_out, _prefix_in_window=True, **kw)
+    seq_f, sc_f = _run(dec, params, enc_out, **kw)
+    np.testing.assert_array_equal(seq_w, seq_f)
+    np.testing.assert_allclose(sc_w, sc_f, atol=1e-5)
+
+
 @pytest.mark.parametrize("quant", ["int8", "int8-cross"])
 def test_bhjtd_composes_with_cache_quant(setup, quant):
     """Layout is orthogonal to cache quantization: the int8 values AND the
